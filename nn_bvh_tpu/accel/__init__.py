@@ -1,0 +1,49 @@
+"""Acceleration structures: host build + device traversal."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import build as _build
+from . import traverse as _traverse
+from .build import BVH, build_sah, build_median, triangle_bounds, sah_cost
+from .traverse import DeviceBVH, Hit, intersect_closest, intersect_any, intersect_brute, upload
+
+
+def build_scene_bvh(scene, method: str = "sah"):
+    """Build a BVH over a CompiledScene and reorder its triangles so leaves are
+    contiguous ranges (the reference reorders primitives the same way,
+    aggregates.cpp:192 orderedPrims). Returns (scene_reordered, DeviceBVH).
+    """
+    n = scene.n_tris
+    tri_p = np.asarray(scene.tri_p[:n])
+    lo, hi = triangle_bounds(tri_p)
+    builder = {"sah": build_sah, "median": build_median, "lbvh": build_median}[method]
+    bvh = builder(lo, hi)
+
+    order = bvh.prim_order  # (n,) original index per new slot
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+
+    def perm(x):
+        x = np.asarray(x)
+        out = x.copy()
+        out[:n] = x[:n][order]
+        return jnp.asarray(out)
+
+    light_params = np.asarray(scene.light_params).copy()
+    if len(light_params):
+        area_mask = np.asarray(scene.light_type) == 3  # LIGHT_AREA_TRI
+        old_tri = light_params[area_mask, 0].astype(np.int64)
+        light_params[area_mask, 0] = inv[old_tri].astype(np.float32)
+
+    scene2 = scene.replace(
+        tri_p=perm(scene.tri_p),
+        tri_n=perm(scene.tri_n),
+        tri_uv=perm(scene.tri_uv),
+        tri_mat=perm(scene.tri_mat),
+        tri_light=perm(scene.tri_light),
+        light_params=jnp.asarray(light_params),
+    )
+    return scene2, upload(bvh), bvh

@@ -1,0 +1,113 @@
+"""CLI renderer: the `pbrt` executable analog (cmd/pbrt.cpp:105).
+
+Usage:
+    python -m nn_bvh_tpu.cli.render scene.pbrt [--spp N] [--outfile f.exr]
+        [--integrator path|simplepath] [--maxdepth N] [--sampler s] [--seed N]
+        [--res WxH] [--quick] [--stats] [--mse-reference-image ref.pfm]
+
+Flags mirror the reference CLI (`options.h:37` PBRTOptions): --spp, --seed,
+--quick, --outfile, --stats, --mse-reference-image.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native pbrt-class renderer")
+    ap.add_argument("scene")
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--outfile", default=None)
+    ap.add_argument("--integrator", default=None)
+    ap.add_argument("--maxdepth", type=int, default=None)
+    ap.add_argument("--sampler", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--res", default=None, help="WxH override")
+    ap.add_argument("--quick", action="store_true", help="1/4 res, spp/4 (pbrt --quick)")
+    ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--mse-reference-image", default=None)
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard rays over all visible devices")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+
+    from ..geometry import pbrt_parser
+    from ..wavefront import integrator, camera as camera_mod
+    from ..utils import image as image_mod
+    from ..dist import sharding
+
+    t0 = time.time()
+    sc, dbvh, cam, res = pbrt_parser.load_scene(args.scene)
+    for w in res.warnings:
+        print(f"warning: {w}", file=sys.stderr)
+
+    spp = args.spp or res.spp
+    width, height = res.width, res.height
+    if args.res:
+        width, height = (int(v) for v in args.res.lower().split("x"))
+    if args.quick:
+        width, height, spp = width // 4, height // 4, max(spp // 4, 1)
+    if (width, height) != (cam.width, cam.height):
+        cam = cam._replace(width=width, height=height)
+
+    integ = args.integrator or res.integrator
+    mis = integ not in ("simplepath", "randomwalk")
+    cfg = integrator.IntegratorConfig(
+        max_depth=args.maxdepth or res.max_depth, mis=mis,
+        rr_depth=2 if mis else 99,
+    )
+    sampler = args.sampler or {"halton": "halton", "sobol": "sobol", "zsobol": "sobol",
+                               "paddedsobol": "sobol", "independent": "independent",
+                               "stratified": "stratified"}.get(res.sampler, "sobol")
+    print(f"scene: {sc.n_tris} tris, {sc.n_lights} lights; {width}x{height}@{spp}spp "
+          f"{integ}/{sampler} on {jax.devices()[0].platform}", file=sys.stderr)
+
+    t1 = time.time()
+    if args.sharded and len(jax.devices()) > 1:
+        mesh = sharding.make_mesh()
+        img = sharding.render_sharded(sc, dbvh, cam, mesh, spp=spp, sampler=sampler,
+                                      seed=args.seed, cfg=cfg)
+    else:
+        img = integrator.render(sc, dbvh, cam, spp=spp, sampler=sampler,
+                                seed=args.seed, cfg=cfg)
+    img.block_until_ready()
+    t2 = time.time()
+
+    out = args.outfile or res.filename
+    arr = np.asarray(img)
+    if out.endswith(".png"):
+        image_mod.write_png(out, arr)
+    elif out.endswith(".pfm"):
+        image_mod.write_pfm(out, arr)
+    else:
+        image_mod.write_exr(out, arr)
+    print(f"wrote {out}", file=sys.stderr)
+
+    if args.stats:
+        rays = width * height * spp * (2 * cfg.max_depth + 1)
+        stats = {
+            "scene_build_s": round(t1 - t0, 3),
+            "render_s": round(t2 - t1, 3),
+            "rays_per_s": round(rays / max(t2 - t1, 1e-9), 1),
+            "tris": sc.n_tris,
+            "lights": sc.n_lights,
+            "spp": spp,
+        }
+        print(json.dumps(stats))
+
+    if args.mse_reference_image:
+        ref = (image_mod.read_pfm(args.mse_reference_image)
+               if args.mse_reference_image.endswith(".pfm")
+               else image_mod.read_exr(args.mse_reference_image))
+        print(json.dumps({"mse": image_mod.mse(arr, ref),
+                          "mrse": image_mod.mrse(arr, ref)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""Scene compilation: host-side builder -> frozen SoA device buffers.
+
+This is the TPU-native analog of the reference's scene pipeline
+(`BasicSceneBuilder` -> `BasicScene` -> per-backend object creation,
+scene.h:260-382 + cpu/render.cpp:24-56): instead of building trees of
+polymorphic objects, we flatten everything at build time into dense SoA jnp
+arrays — triangles in render space, integer material/light ids per primitive,
+tagged material and light parameter tables. Polymorphic dispatch becomes
+integer tags + masked lane selects (the reference's TaggedPointer::Dispatch,
+util/taggedptr.h:361, resolved per lane instead of per call).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import rgb2spec
+from . import transform as xf
+
+Array = jax.Array
+
+# material type tags (base/material.h:35 tag list analog)
+MAT_DIFFUSE = 0
+MAT_CONDUCTOR = 1
+MAT_DIELECTRIC = 2
+MAT_THIN_DIELECTRIC = 3
+MAT_DIFFUSE_TRANSMISSION = 4
+MAT_INTERFACE = -1  # no material (pass-through)
+
+# light type tags (base/light.h:40 analog)
+LIGHT_POINT = 0
+LIGHT_DISTANT = 1
+LIGHT_UNIFORM_INFINITE = 2
+LIGHT_AREA_TRI = 3
+LIGHT_IMAGE_INFINITE = 4
+LIGHT_SPOT = 5
+
+N_MAT_PARAMS = 6
+N_LIGHT_PARAMS = 4
+
+
+class CompiledScene(NamedTuple):
+    """Frozen device-side scene. All arrays are SoA jnp arrays.
+
+    Triangle counts are padded to a multiple of 128 (lane width) with
+    degenerate all-zero triangles, which the watertight intersector rejects
+    (det == 0).
+    """
+
+    # geometry
+    tri_p: Array        # (N, 3, 3) vertex positions, render space
+    tri_n: Array        # (N, 3, 3) shading normals (geometric if none given)
+    tri_uv: Array       # (N, 3, 2)
+    tri_mat: Array      # (N,) i32 material id (-1 = interface/none)
+    tri_light: Array    # (N,) i32 area-light id (-1 = not emissive)
+    n_tris: int         # actual (unpadded) triangle count — static
+
+    # materials (tagged SoA table)
+    mat_type: Array     # (M,) i32
+    mat_coeffs: Array   # (M, 3) sigmoid-poly coefficients of base color
+    mat_scale: Array    # (M,)
+    mat_params: Array   # (M, N_MAT_PARAMS) [roughness_u, roughness_v, eta, k_or_transmit, _, _]
+
+    # lights (tagged SoA table)
+    light_type: Array   # (L,) i32
+    light_pos: Array    # (L, 3) position / direction
+    light_coeffs: Array  # (L, 3) sigmoid-poly of emission chroma
+    light_scale: Array  # (L,) photometric scale on normalized illuminant
+    light_params: Array  # (L, N_LIGHT_PARAMS) [tri_index, twosided, ...]
+    n_lights: int
+
+    # scene bounds (2,3)
+    bounds: Array
+
+    def replace(self, **kw):
+        return self._replace(**kw)
+
+
+# static counts must not trace under jit/shard_map
+from ..utils.pytree import register_static as _register_static  # noqa: E402
+
+_register_static(CompiledScene, ("n_tris", "n_lights"))
+
+
+@dataclass
+class SceneBuilder:
+    """Accumulates meshes/materials/lights on host, then compiles.
+
+    The graphics-state conveniences of the reference's BasicSceneBuilder
+    (CTM stack, AttributeBegin/End) live in the pbrt parser front end; this
+    class is the flat "SceneEntity" sink (scene.h:35-195 analog).
+    """
+
+    _tri_p: list = field(default_factory=list)
+    _tri_n: list = field(default_factory=list)
+    _tri_uv: list = field(default_factory=list)
+    _tri_mat: list = field(default_factory=list)
+    _tri_emit: list = field(default_factory=list)  # (rgb, scale, twosided) or None per mesh
+    _materials: list = field(default_factory=list)
+    _lights: list = field(default_factory=list)
+
+    # ---- materials -------------------------------------------------------
+
+    def add_material(
+        self,
+        kind: str = "diffuse",
+        reflectance=(0.5, 0.5, 0.5),
+        roughness: float = 0.0,
+        eta: float = 1.5,
+        k: float = 3.9,
+        transmittance: float = 0.0,
+    ) -> int:
+        kinds = {
+            "diffuse": MAT_DIFFUSE,
+            "conductor": MAT_CONDUCTOR,
+            "dielectric": MAT_DIELECTRIC,
+            "thindielectric": MAT_THIN_DIELECTRIC,
+            "diffusetransmission": MAT_DIFFUSE_TRANSMISSION,
+        }
+        self._materials.append(
+            dict(
+                type=kinds[kind],
+                reflectance=np.asarray(reflectance, np.float32),
+                params=np.array([roughness, roughness, eta, k, transmittance, 0.0], np.float32),
+            )
+        )
+        return len(self._materials) - 1
+
+    # ---- lights ----------------------------------------------------------
+
+    def add_point_light(self, position, intensity_rgb=(1, 1, 1), scale: float = 1.0) -> int:
+        self._lights.append(
+            dict(type=LIGHT_POINT, pos=np.asarray(position, np.float32),
+                 rgb=np.asarray(intensity_rgb, np.float32), scale=scale,
+                 params=np.zeros(N_LIGHT_PARAMS, np.float32))
+        )
+        return len(self._lights) - 1
+
+    def add_distant_light(self, direction, radiance_rgb=(1, 1, 1), scale: float = 1.0) -> int:
+        d = np.asarray(direction, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        self._lights.append(
+            dict(type=LIGHT_DISTANT, pos=d, rgb=np.asarray(radiance_rgb, np.float32),
+                 scale=scale, params=np.zeros(N_LIGHT_PARAMS, np.float32))
+        )
+        return len(self._lights) - 1
+
+    def add_uniform_infinite_light(self, radiance_rgb=(1, 1, 1), scale: float = 1.0) -> int:
+        self._lights.append(
+            dict(type=LIGHT_UNIFORM_INFINITE, pos=np.zeros(3, np.float32),
+                 rgb=np.asarray(radiance_rgb, np.float32), scale=scale,
+                 params=np.zeros(N_LIGHT_PARAMS, np.float32))
+        )
+        return len(self._lights) - 1
+
+    # ---- geometry --------------------------------------------------------
+
+    def add_mesh(
+        self,
+        vertices: np.ndarray,
+        faces: np.ndarray,
+        material: int,
+        normals: Optional[np.ndarray] = None,
+        uvs: Optional[np.ndarray] = None,
+        transform: Optional[np.ndarray] = None,
+        emission_rgb=None,
+        emission_scale: float = 1.0,
+        two_sided: bool = False,
+    ) -> None:
+        """Add an indexed triangle mesh. If emission_rgb is set, every triangle
+        becomes a DiffuseAreaLight (the reference also creates one area light
+        per shape, lights.h DiffuseAreaLight)."""
+        vertices = np.asarray(vertices, np.float32)
+        faces = np.asarray(faces, np.int64)
+        if transform is not None:
+            vertices = xf.apply_points(transform, vertices)
+            if normals is not None:
+                normals = xf.apply_normals(transform, normals)
+        p = vertices[faces]  # (F, 3, 3)
+        if normals is not None:
+            n = np.asarray(normals, np.float32)[faces]
+        else:
+            ng = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+            ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            n = np.repeat(ng[:, None, :], 3, axis=1)
+        if uvs is not None:
+            uv = np.asarray(uvs, np.float32)[faces]
+        else:
+            uv = np.zeros((len(faces), 3, 2), np.float32)
+        self._tri_p.append(p)
+        self._tri_n.append(n.astype(np.float32))
+        self._tri_uv.append(uv)
+        self._tri_mat.append(np.full(len(faces), material, np.int32))
+        if emission_rgb is not None:
+            self._tri_emit.append(
+                (np.asarray(emission_rgb, np.float32), float(emission_scale), two_sided)
+            )
+        else:
+            self._tri_emit.append(None)
+
+    def add_sphere(self, center, radius, material, n_theta=32, n_phi=64, **kw):
+        """Tessellated sphere (the reference's analytic Sphere shape,
+        shapes.h:107, is represented as a fine mesh; analytic quadrics can come
+        later as a separate prim type)."""
+        th = np.linspace(0, np.pi, n_theta + 1)
+        ph = np.linspace(0, 2 * np.pi, n_phi + 1)
+        tt, pp = np.meshgrid(th, ph, indexing="ij")
+        x = np.sin(tt) * np.cos(pp)
+        y = np.sin(tt) * np.sin(pp)
+        z = np.cos(tt)
+        verts = np.stack([x, y, z], -1).reshape(-1, 3)
+        normals = verts.copy()
+        verts = verts * radius + np.asarray(center, np.float32)
+        idx = lambda i, j: i * (n_phi + 1) + j
+        faces = []
+        for i in range(n_theta):
+            for j in range(n_phi):
+                a, b, c, d = idx(i, j), idx(i + 1, j), idx(i + 1, j + 1), idx(i, j + 1)
+                if i > 0:
+                    faces.append([a, b, d])
+                if i < n_theta - 1:
+                    faces.append([b, c, d])
+        self.add_mesh(np.asarray(verts, np.float32), np.asarray(faces), material,
+                      normals=normals.astype(np.float32), **kw)
+
+    def add_quad(self, p00, p10, p11, p01, material, **kw):
+        verts = np.asarray([p00, p10, p11, p01], np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 2, 3]])
+        self.add_mesh(verts, faces, material, **kw)
+
+    # ---- compile ---------------------------------------------------------
+
+    def build(self) -> CompiledScene:
+        if not self._tri_p:
+            raise ValueError("empty scene")
+        tri_p = np.concatenate(self._tri_p)
+        tri_n = np.concatenate(self._tri_n)
+        tri_uv = np.concatenate(self._tri_uv)
+        tri_mat = np.concatenate(self._tri_mat)
+        n = len(tri_p)
+
+        # expand per-mesh emission into per-triangle area lights
+        tri_light = np.full(n, -1, np.int32)
+        lights = list(self._lights)
+        off = 0
+        for chunk, emit in zip(self._tri_p, self._tri_emit):
+            cnt = len(chunk)
+            if emit is not None:
+                rgb, sc, two = emit
+                for k in range(cnt):
+                    tri_light[off + k] = len(lights)
+                    params = np.zeros(N_LIGHT_PARAMS, np.float32)
+                    params[0] = off + k
+                    params[1] = 1.0 if two else 0.0
+                    lights.append(
+                        dict(type=LIGHT_AREA_TRI, pos=np.zeros(3, np.float32),
+                             rgb=rgb, scale=sc, params=params)
+                    )
+            off += cnt
+
+        # pad triangles to lane multiple with degenerate (all-zero) triangles
+        pad = (-n) % 128
+        if pad:
+            tri_p = np.concatenate([tri_p, np.zeros((pad, 3, 3), np.float32)])
+            tri_n = np.concatenate([tri_n, np.zeros((pad, 3, 3), np.float32)])
+            tri_n[n:, :, 2] = 1.0
+            tri_uv = np.concatenate([tri_uv, np.zeros((pad, 3, 2), np.float32)])
+            tri_mat = np.concatenate([tri_mat, np.full(pad, -1, np.int32)])
+            tri_light = np.concatenate([tri_light, np.full(pad, -1, np.int32)])
+
+        # materials
+        if not self._materials:
+            self.add_material("diffuse")
+        mat_type = np.array([m["type"] for m in self._materials], np.int32)
+        refl = np.stack([m["reflectance"] for m in self._materials])
+        mat_coeffs, mat_scale = rgb2spec.rgb_to_coeffs_host(refl)
+        mat_params = np.stack([m["params"] for m in self._materials])
+
+        # lights
+        if lights:
+            light_type = np.array([l["type"] for l in lights], np.int32)
+            light_pos = np.stack([l["pos"] for l in lights])
+            lrgb = np.stack([l["rgb"] for l in lights])
+            lscale = np.array([l["scale"] for l in lights], np.float32)
+            lc, ls = rgb2spec.rgb_to_coeffs_host(lrgb)
+            light_scale = lscale * ls
+            light_params = np.stack([l["params"] for l in lights])
+        else:
+            light_type = np.zeros(0, np.int32)
+            light_pos = np.zeros((0, 3), np.float32)
+            lc = np.zeros((0, 3), np.float32)
+            light_scale = np.zeros(0, np.float32)
+            light_params = np.zeros((0, N_LIGHT_PARAMS), np.float32)
+
+        lo = tri_p[:n].reshape(-1, 3).min(0)
+        hi = tri_p[:n].reshape(-1, 3).max(0)
+
+        return CompiledScene(
+            tri_p=jnp.asarray(tri_p),
+            tri_n=jnp.asarray(tri_n),
+            tri_uv=jnp.asarray(tri_uv),
+            tri_mat=jnp.asarray(tri_mat),
+            tri_light=jnp.asarray(tri_light),
+            n_tris=n,
+            mat_type=jnp.asarray(mat_type),
+            mat_coeffs=jnp.asarray(mat_coeffs),
+            mat_scale=jnp.asarray(mat_scale),
+            mat_params=jnp.asarray(mat_params),
+            light_type=jnp.asarray(light_type),
+            light_pos=jnp.asarray(light_pos),
+            light_coeffs=jnp.asarray(lc),
+            light_scale=jnp.asarray(light_scale),
+            light_params=jnp.asarray(light_params),
+            n_lights=int(len(lights)),
+            bounds=jnp.asarray(np.stack([lo, hi])),
+        )

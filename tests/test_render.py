@@ -1,0 +1,116 @@
+"""End-to-end integrator tests on analytic scenes.
+
+Mirrors the reference's `cpu/integrators_test.cpp`: in-memory scenes whose
+converged radiance is known analytically, rendered through the real
+integrator, mean image value asserted within the same +-0.025 tolerance
+(integrators_test.cpp:55,64).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nn_bvh_tpu import accel
+from nn_bvh_tpu.geometry import scene as scene_mod, transform as xf
+from nn_bvh_tpu.wavefront import camera as camera_mod, integrator
+
+RES = 24
+TOL = 0.025
+
+
+def furnace_scene(albedo=0.5, le=0.5):
+    """Camera inside a big emissive+diffuse sphere: L = le / (1 - albedo)."""
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse", reflectance=(albedo, albedo, albedo))
+    b.add_sphere((0, 0, 0), 10.0, m, n_theta=24, n_phi=48,
+                 emission_rgb=(1, 1, 1), emission_scale=le, two_sided=True)
+    sc = b.build()
+    sc, dbvh, _ = accel.build_scene_bvh(sc)
+    cam = camera_mod.make_perspective(
+        xf.look_at((0, 0, 0), (0, 0, 1), (0, 1, 0)), fov=90.0, width=RES, height=RES
+    )
+    return sc, dbvh, cam
+
+
+def quad_light_scene():
+    """Diffuse floor lit by an overhead area light; plus direct-view emitter."""
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse", reflectance=(0.7, 0.7, 0.7))
+    b.add_quad((-5, -1, -5), (5, -1, -5), (5, -1, 5), (-5, -1, 5), m)
+    b.add_quad((-1, 3, -1), (1, 3, -1), (1, 3, 1), (-1, 3, 1), m,
+               emission_rgb=(1, 1, 1), emission_scale=5.0, two_sided=True)
+    sc = b.build()
+    sc, dbvh, _ = accel.build_scene_bvh(sc)
+    cam = camera_mod.make_perspective(
+        xf.look_at((0, 1.0, -4), (0, 0, 0), (0, 1, 0)), fov=60.0, width=RES, height=RES
+    )
+    return sc, dbvh, cam
+
+
+class TestFurnace:
+    @pytest.mark.parametrize("mis", [False, True])
+    def test_furnace_converges_to_analytic(self, mis):
+        sc, dbvh, cam = furnace_scene(albedo=0.5, le=0.5)
+        cfg = integrator.IntegratorConfig(max_depth=10, mis=mis, rr_depth=12)
+        img = integrator.render(sc, dbvh, cam, spp=12, sampler="sobol", cfg=cfg)
+        mean = float(jnp.mean(img))
+        # analytic: 0.5 * sum(0.5^k, k=0..10) ~= 0.9995
+        assert abs(mean - 1.0) < TOL, f"furnace mean {mean}"
+        # all channels equal (gray scene through full spectral pipeline)
+        ch = np.asarray(img).reshape(-1, 3).mean(0)
+        np.testing.assert_allclose(ch, ch.mean(), atol=0.02)
+
+    def test_emitter_direct_view(self):
+        sc, dbvh, cam = furnace_scene(albedo=0.0, le=0.75)
+        cfg = integrator.IntegratorConfig(max_depth=2, mis=True)
+        img = integrator.render(sc, dbvh, cam, spp=8, cfg=cfg)
+        np.testing.assert_allclose(float(jnp.mean(img)), 0.75, atol=TOL)
+
+
+class TestIntegratorsAgree:
+    def test_simplepath_vs_path(self):
+        sc, dbvh, cam = quad_light_scene()
+        cfg_s = integrator.IntegratorConfig(max_depth=4, mis=False, rr_depth=99)
+        cfg_p = integrator.IntegratorConfig(max_depth=4, mis=True, rr_depth=99)
+        img_s = integrator.render(sc, dbvh, cam, spp=48, seed=1, cfg=cfg_s)
+        img_p = integrator.render(sc, dbvh, cam, spp=48, seed=2, cfg=cfg_p)
+        m_s, m_p = float(jnp.mean(img_s)), float(jnp.mean(img_p))
+        assert m_s > 0.01 and m_p > 0.01
+        # both unbiased estimators of the same integral
+        assert abs(m_s - m_p) < 0.05 * max(m_s, m_p) + 0.01, (m_s, m_p)
+
+    def test_point_light_analytic(self):
+        # diffuse floor y=0, point light at (0,2,0) intensity I:
+        # L(x) = I * cos / r^2 * rho / pi
+        b = scene_mod.SceneBuilder()
+        m = b.add_material("diffuse", reflectance=(0.6, 0.6, 0.6))
+        b.add_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20), (-20, 0, 20), m)
+        b.add_point_light((0, 2, 0), (1, 1, 1), scale=4.0)
+        sc = b.build()
+        sc, dbvh, _ = accel.build_scene_bvh(sc)
+        cam = camera_mod.make_perspective(
+            xf.look_at((0, 3, -3.0), (0, 0, 0), (0, 1, 0)), fov=30.0,
+            width=RES, height=RES,
+        )
+        cfg = integrator.IntegratorConfig(max_depth=1, mis=True)
+        img = integrator.render(sc, dbvh, cam, spp=8, cfg=cfg)
+        # center pixel looks at origin: r=2, cos=1 -> L = 4/(4) * 0.6/pi
+        expected = 4.0 / 4.0 * 0.6 / np.pi
+        center = float(np.asarray(img)[RES // 2, RES // 2].mean())
+        np.testing.assert_allclose(center, expected, rtol=0.08)
+
+
+class TestDeterminism:
+    def test_same_seed_same_image(self):
+        sc, dbvh, cam = quad_light_scene()
+        cfg = integrator.IntegratorConfig(max_depth=3)
+        a = integrator.render(sc, dbvh, cam, spp=4, seed=7, cfg=cfg)
+        b = integrator.render(sc, dbvh, cam, spp=4, seed=7, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_different_seed_differs(self):
+        sc, dbvh, cam = quad_light_scene()
+        cfg = integrator.IntegratorConfig(max_depth=3)
+        a = integrator.render(sc, dbvh, cam, spp=2, seed=7, cfg=cfg)
+        b = integrator.render(sc, dbvh, cam, spp=2, seed=8, cfg=cfg)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
