@@ -50,19 +50,22 @@ def build_bench_scene():
     sc, dbvh, bvh = accel.build_scene_bvh(sc)
     cam = camera_mod.make_perspective(
         xf.look_at((0, 3.0, -9.0), (0, 1.0, 0), (0, 1, 0)), fov=50.0,
-        width=400, height=400,
+        width=256, height=256,
     )
     return sc, dbvh, bvh, cam
 
 
 def main():
+    from nn_bvh_tpu.utils.cache import enable_jax_cache
+
+    enable_jax_cache()
     import jax
     import jax.numpy as jnp
     from nn_bvh_tpu.core import samplers
     from nn_bvh_tpu.wavefront import integrator, film as film_mod
 
     sc, dbvh, bvh, cam = build_bench_scene()
-    max_depth = 5
+    max_depth = 4
     cfg = integrator.IntegratorConfig(max_depth=max_depth, mis=True, rr_depth=2)
     sampler_cfg = samplers.make_sampler("sobol", seed=0, spp=16)
     wave = integrator.make_wave_fn(sc, dbvh, cam, sampler_cfg, cfg)
@@ -72,7 +75,7 @@ def main():
     film = wave(film, jnp.int32(0))
     jax.block_until_ready(film.xyz)
 
-    n_waves = 8
+    n_waves = 4
     t0 = time.perf_counter()
     for s in range(1, 1 + n_waves):
         film = wave(film, jnp.int32(s))

@@ -17,7 +17,7 @@ def build_scene_bvh(scene, method: str = "sah"):
     aggregates.cpp:192 orderedPrims). Returns (scene_reordered, DeviceBVH).
     """
     n = scene.n_tris
-    tri_p = np.asarray(scene.tri_p[:n])
+    tri_p = np.asarray(scene.tri_p)[:n]
     lo, hi = triangle_bounds(tri_p)
     builder = {"sah": build_sah, "median": build_median, "lbvh": build_median}[method]
     bvh = builder(lo, hi)
@@ -30,7 +30,7 @@ def build_scene_bvh(scene, method: str = "sah"):
         x = np.asarray(x)
         out = x.copy()
         out[:n] = x[:n][order]
-        return jnp.asarray(out)
+        return out
 
     light_params = np.asarray(scene.light_params).copy()
     if len(light_params):
@@ -38,12 +38,21 @@ def build_scene_bvh(scene, method: str = "sah"):
         old_tri = light_params[area_mask, 0].astype(np.int64)
         light_params[area_mask, 0] = inv[old_tri].astype(np.float32)
 
+    # everything stays host-side numpy (see geometry.scene note on the TPU
+    # tunnel); renderers upload once via scene.to_device / tree.map(jnp.asarray)
     scene2 = scene.replace(
         tri_p=perm(scene.tri_p),
         tri_n=perm(scene.tri_n),
         tri_uv=perm(scene.tri_uv),
         tri_mat=perm(scene.tri_mat),
         tri_light=perm(scene.tri_light),
-        light_params=jnp.asarray(light_params),
+        light_params=light_params,
     )
-    return scene2, upload(bvh), bvh
+    from ..geometry import scene as _scene_mod
+
+    scene2 = scene2.replace(tri_shade=_scene_mod.make_tri_shade(scene2))
+    dbvh_host = _traverse.DeviceBVH(
+        node_lo=bvh.node_lo, node_hi=bvh.node_hi, node_meta=bvh.node_meta,
+        n_nodes=int(bvh.n_nodes),
+    )
+    return scene2, dbvh_host, bvh

@@ -141,7 +141,8 @@ def _traverse_one(bvh: DeviceBVH, tri_p: Array, o: Array, d: Array, t_max: Array
         z > jnp.inf,  # False
     )
     t, prim, b1, b2, *_ = jax.lax.while_loop(cond, body, init)
-    return Hit(t=t, prim=prim, b1=b1, b2=b2)
+    # misses must report t = inf, not the (finite) t_max they carried
+    return Hit(t=jnp.where(prim >= 0, t, jnp.inf), prim=prim, b1=b1, b2=b2)
 
 
 def intersect_closest(bvh: DeviceBVH, tri_p: Array, o: Array, d: Array, t_max: Array,

@@ -32,9 +32,16 @@ def main(argv=None):
     ap.add_argument("--mse-reference-image", default=None)
     ap.add_argument("--sharded", action="store_true",
                     help="shard rays over all visible devices")
+    ap.add_argument("--display-server", default=None,
+                    help="tev host[:port] to stream progress to")
+    ap.add_argument("--write-partial-images", action="store_true")
     args = ap.parse_args(argv)
 
     import numpy as np
+
+    from ..utils.cache import enable_jax_cache
+
+    enable_jax_cache()
     import jax
 
     from ..geometry import pbrt_parser
@@ -57,10 +64,13 @@ def main(argv=None):
         cam = cam._replace(width=width, height=height)
 
     integ = args.integrator or res.integrator
-    mis = integ not in ("simplepath", "randomwalk")
+    mis = integ not in ("simplepath", "randomwalk", "ao")
+    kind = {"randomwalk": "randomwalk", "ambientocclusion": "ao", "ao": "ao"}.get(
+        integ, "path")
     cfg = integrator.IntegratorConfig(
-        max_depth=args.maxdepth or res.max_depth, mis=mis,
+        max_depth=args.maxdepth or res.max_depth, mis=mis, kind=kind,
         rr_depth=2 if mis else 99,
+        sample_lights=kind not in ("randomwalk", "ao"),
     )
     sampler = args.sampler or {"halton": "halton", "sobol": "sobol", "zsobol": "sobol",
                                "paddedsobol": "sobol", "independent": "independent",
@@ -69,13 +79,34 @@ def main(argv=None):
           f"{integ}/{sampler} on {jax.devices()[0].platform}", file=sys.stderr)
 
     t1 = time.time()
+    wave_cb = None
+    tev = None
+    if args.display_server or args.write_partial_images:
+        from ..utils import image as image_mod_cb
+        from ..wavefront import film as film_dev
+
+        if args.display_server:
+            from ..utils.display import TevDisplay
+
+            hp = args.display_server.split(":")
+            tev = TevDisplay(hp[0], int(hp[1]) if len(hp) > 1 else 14158)
+            tev.create_image("render", width, height)
+
+        def wave_cb(s, f):
+            img_p = np.asarray(film_dev.develop(f))
+            if tev is not None:
+                tev.update_image("render", img_p)
+            if args.write_partial_images and (s & (s + 1)) == 0:  # waves 1,3,7,...
+                out_p = (args.outfile or res.filename) + f".partial.pfm"
+                image_mod_cb.write_pfm(out_p, img_p)
+
     if args.sharded and len(jax.devices()) > 1:
         mesh = sharding.make_mesh()
         img = sharding.render_sharded(sc, dbvh, cam, mesh, spp=spp, sampler=sampler,
                                       seed=args.seed, cfg=cfg)
     else:
         img = integrator.render(sc, dbvh, cam, spp=spp, sampler=sampler,
-                                seed=args.seed, cfg=cfg)
+                                seed=args.seed, cfg=cfg, wave_callback=wave_cb)
     img.block_until_ready()
     t2 = time.time()
 

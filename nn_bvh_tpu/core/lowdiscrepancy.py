@@ -108,15 +108,20 @@ def radical_inverse(base_index: int, a: Array) -> Array:
     (reference util/lowdiscrepancy.h RadicalInverse)."""
     base = _PRIMES[base_index]
     inv_base = 1.0 / base
+    # the reversed-digit accumulator must stay < 2^32: use
+    # n_digits = floor(32/log2(base)) digits and fold the input into range
+    # (base^n_digits), otherwise rev overflows uint32 (biased samples)
+    n_digits = int(np.floor(32 / np.log2(base)))
+    modulus = np.uint32(base**n_digits) if base**n_digits < 2**32 else np.uint32(0)
     a = jnp.asarray(a, jnp.uint32)
+    if int(modulus) != 0:
+        a = a % modulus
 
     def body(_, carry):
         a, rev, inv = carry
         digit = a % base
         return a // base, rev * base + digit, inv * inv_base
 
-    # 32/log2(base) digits max; fixed trip count keeps it jittable
-    n_digits = int(np.ceil(32 / np.log2(base)))
     a_out, rev, inv = jax.lax.fori_loop(
         0, n_digits, body, (a, jnp.zeros_like(a), jnp.ones_like(a, jnp.float32) * 1.0)
     )

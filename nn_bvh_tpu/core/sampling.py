@@ -31,11 +31,11 @@ def balance_heuristic(nf: Array, f_pdf: Array, ng: Array, g_pdf: Array) -> Array
 
 
 def power_heuristic(nf: Array, f_pdf: Array, ng: Array, g_pdf: Array) -> Array:
-    f = nf * f_pdf
-    g = ng * g_pdf
-    return jnp.where(
-        jnp.isinf(f * f), 1.0, (f * f) / jnp.maximum(f * f + g * g, 1e-20)
-    )
+    # clamp instead of the isinf-select: inf in the untaken where-branch
+    # poisons reverse-mode gradients (0 * nan)
+    f = jnp.minimum(nf * f_pdf, 1e18)
+    g = jnp.minimum(ng * g_pdf, 1e18)
+    return (f * f) / jnp.maximum(f * f + g * g, 1e-20)
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +62,7 @@ def sample_uniform_disk_concentric(u: Array) -> Array:
 def sample_cosine_hemisphere(u: Array) -> Array:
     """Malley's method; pdf = cos(theta)/pi. u:(...,2) -> (...,3) with +z up."""
     d = sample_uniform_disk_concentric(u)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    z = vm.safe_sqrt(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2)
     return jnp.stack([d[..., 0], d[..., 1], z], axis=-1)
 
 
@@ -72,7 +72,7 @@ def cosine_hemisphere_pdf(cos_theta: Array) -> Array:
 
 def sample_uniform_sphere(u: Array) -> Array:
     z = 1.0 - 2.0 * u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = vm.safe_sqrt(1.0 - z * z)
     phi = 2.0 * jnp.pi * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -82,7 +82,7 @@ UNIFORM_SPHERE_PDF = INV_4PI
 
 def sample_uniform_hemisphere(u: Array) -> Array:
     z = u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = vm.safe_sqrt(1.0 - z * z)
     phi = 2.0 * jnp.pi * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -92,7 +92,7 @@ UNIFORM_HEMISPHERE_PDF = INV_2PI
 
 def sample_uniform_cone(u: Array, cos_theta_max: Array) -> Array:
     cos_theta = (1.0 - u[..., 0]) + u[..., 0] * cos_theta_max
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = vm.safe_sqrt(1.0 - cos_theta * cos_theta)
     phi = 2.0 * jnp.pi * u[..., 1]
     return vm.spherical_direction(sin_theta, cos_theta, phi)
 
@@ -127,9 +127,9 @@ def sample_spherical_triangle(v0: Array, v1: Array, v2: Array, p: Array, u: Arra
     n_bc = vm.normalize(n_bc)
     n_ca = vm.normalize(n_ca)
     # interior dihedral angles
-    alpha = jnp.arccos(jnp.clip(vm.dot(n_ab, -n_ca), -1, 1))
-    beta = jnp.arccos(jnp.clip(vm.dot(n_bc, -n_ab), -1, 1))
-    gamma = jnp.arccos(jnp.clip(vm.dot(n_ca, -n_bc), -1, 1))
+    alpha = vm.safe_acos(vm.dot(n_ab, -n_ca))
+    beta = vm.safe_acos(vm.dot(n_bc, -n_ab))
+    gamma = vm.safe_acos(vm.dot(n_ca, -n_bc))
     A_full = alpha + beta + gamma - jnp.pi  # spherical area
     pdf = 1.0 / jnp.maximum(A_full, 1e-12)
 
@@ -153,12 +153,12 @@ def sample_spherical_triangle(v0: Array, v1: Array, v2: Array, p: Array, u: Arra
     q = jnp.clip(q, -1.0, 1.0)
     # new vertex c-hat on arc a..c
     c_perp = vm.normalize(c - vm.dot(c, a)[..., None] * a)
-    c_hat = q[..., None] * a + jnp.sqrt(jnp.maximum(0.0, 1.0 - q * q))[..., None] * c_perp
+    c_hat = q[..., None] * a + vm.safe_sqrt(1.0 - q * q)[..., None] * c_perp
     # sample along arc b..c_hat
     z = 1.0 - u[..., 1] * (1.0 - vm.dot(c_hat, b))
     z = jnp.clip(z, -1.0, 1.0)
     b_perp = vm.normalize(c_hat - vm.dot(c_hat, b)[..., None] * b)
-    w = z[..., None] * b + jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))[..., None] * b_perp
+    w = z[..., None] * b + vm.safe_sqrt(1.0 - z * z)[..., None] * b_perp
 
     # recover barycentrics: intersect ray (p, w) with triangle plane
     e1 = v1 - v0

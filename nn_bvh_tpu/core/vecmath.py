@@ -19,6 +19,18 @@ Array = jax.Array
 # basic ops
 # ---------------------------------------------------------------------------
 
+def safe_sqrt(x: Array) -> Array:
+    """sqrt with a finite gradient at 0 (grad of sqrt(max(x,0)) is inf AT 0,
+    and masked-out lanes hit exactly that — the jnp.where NaN-grad trap)."""
+    return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+
+def safe_acos(x: Array) -> Array:
+    """arccos clamped inside (-1, 1): grad of arccos at +-1 is infinite and
+    degenerate (masked) lanes land exactly on +-1."""
+    return jnp.arccos(jnp.clip(x, -1.0 + 1e-7, 1.0 - 1e-7))
+
+
 def dot(a: Array, b: Array) -> Array:
     """Elementwise dot over trailing axis; keeps batch shape."""
     return jnp.sum(a * b, axis=-1)
@@ -196,7 +208,7 @@ def refract(wi: Array, n: Array, eta: Array):
     s2_i = jnp.maximum(0.0, 1.0 - ct_i * ct_i)
     s2_t = s2_i / (eta * eta)
     tir = s2_t >= 1.0
-    ct_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - s2_t))
+    ct_t = safe_sqrt(1.0 - s2_t)
     wt = -wi / eta[..., None] + (ct_i / eta - ct_t)[..., None] * n
     return ~tir, eta, wt
 

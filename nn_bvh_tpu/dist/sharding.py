@@ -58,8 +58,11 @@ def render_sharded(
     if R % n_dev != 0:
         raise ValueError(f"pixel count {R} must divide device count {n_dev}")
     sampler_cfg = samplers.make_sampler(sampler, seed=seed, spp=spp)
+    from ..scatter import lightsamplers
 
-    scene_spec = jax.tree.map(lambda _: P(), (scene, dbvh))
+    ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    scene, dbvh, ls_tables = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
+    scene_spec = jax.tree.map(lambda _: P(), (scene, dbvh, ls_tables))
 
     @partial(
         shard_map,
@@ -68,9 +71,9 @@ def render_sharded(
         out_specs=(P(), P()),
     )
     def wave(scene_and_bvh, pixel_idx_local, sample_idx):
-        sc, bvh = scene_and_bvh
+        sc, bvh, lst = scene_and_bvh
         L, lam, lam_pdf = integrator.trace_wave(
-            sc, bvh, cam, sampler_cfg, cfg, pixel_idx_local, sample_idx
+            sc, bvh, cam, sampler_cfg, cfg, pixel_idx_local, sample_idx, lst
         )
         # per-device partial film -> psum (the film reduction over ICI)
         f = film_mod.make_film(cam.height, cam.width)
@@ -86,7 +89,7 @@ def render_sharded(
     xyz = film.xyz
     weight = film.weight
     for s in range(spp):
-        dx, dw = wave_jit((scene, dbvh), pixel_idx, jnp.int32(s))
+        dx, dw = wave_jit((scene, dbvh, ls_tables), pixel_idx, jnp.int32(s))
         xyz = xyz + dx
         weight = weight + dw
     film = film._replace(xyz=xyz, weight=weight)

@@ -77,8 +77,29 @@ class CompiledScene(NamedTuple):
     # scene bounds (2,3)
     bounds: Array
 
+    # fused per-triangle shading record (N, 26), built after BVH reorder:
+    # [v0 v1 v2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_id | light_id].
+    # One gather serves the whole shading stage — TPU gathers are
+    # latency-bound (~3.5 ms / 65k lanes) and width-insensitive, so fusing
+    # 5 table gathers into 1 is a ~4x win on the hit-shading stage.
+    tri_shade: Array = None
+
     def replace(self, **kw):
         return self._replace(**kw)
+
+
+def make_tri_shade(scene: "CompiledScene") -> np.ndarray:
+    tp = np.asarray(scene.tri_p, np.float32)
+    tn = np.asarray(scene.tri_n, np.float32)
+    tu = np.asarray(scene.tri_uv, np.float32)
+    n = len(tp)
+    out = np.zeros((n, 26), np.float32)
+    out[:, 0:9] = tp.reshape(n, 9)
+    out[:, 9:18] = tn.reshape(n, 9)
+    out[:, 18:24] = tu.reshape(n, 6)
+    out[:, 24] = np.asarray(scene.tri_mat, np.float32)
+    out[:, 25] = np.asarray(scene.tri_light, np.float32)
+    return out
 
 
 # static counts must not trace under jit/shard_map
@@ -300,22 +321,31 @@ class SceneBuilder:
         lo = tri_p[:n].reshape(-1, 3).min(0)
         hi = tri_p[:n].reshape(-1, 3).max(0)
 
+        # NOTE: arrays stay HOST-side numpy. Device upload happens exactly once
+        # (to_device / the renderers) — device->host readback over the TPU
+        # tunnel is catastrophically slow, so the whole scene pipeline
+        # (BVH build, reorder, light-power tables) runs on numpy first.
         return CompiledScene(
-            tri_p=jnp.asarray(tri_p),
-            tri_n=jnp.asarray(tri_n),
-            tri_uv=jnp.asarray(tri_uv),
-            tri_mat=jnp.asarray(tri_mat),
-            tri_light=jnp.asarray(tri_light),
+            tri_p=tri_p,
+            tri_n=tri_n,
+            tri_uv=tri_uv,
+            tri_mat=tri_mat,
+            tri_light=tri_light,
             n_tris=n,
-            mat_type=jnp.asarray(mat_type),
-            mat_coeffs=jnp.asarray(mat_coeffs),
-            mat_scale=jnp.asarray(mat_scale),
-            mat_params=jnp.asarray(mat_params),
-            light_type=jnp.asarray(light_type),
-            light_pos=jnp.asarray(light_pos),
-            light_coeffs=jnp.asarray(lc),
-            light_scale=jnp.asarray(light_scale),
-            light_params=jnp.asarray(light_params),
+            mat_type=mat_type,
+            mat_coeffs=mat_coeffs,
+            mat_scale=mat_scale,
+            mat_params=mat_params,
+            light_type=light_type,
+            light_pos=light_pos,
+            light_coeffs=lc,
+            light_scale=light_scale,
+            light_params=light_params,
             n_lights=int(len(lights)),
-            bounds=jnp.asarray(np.stack([lo, hi])),
+            bounds=np.stack([lo, hi]),
         )
+
+
+def to_device(scene: CompiledScene) -> CompiledScene:
+    """One-shot upload of every scene buffer to the default device."""
+    return jax.tree.map(jnp.asarray, scene)

@@ -350,22 +350,22 @@ def _w_epo_bwd(axis, is_left, res, upstream):
 
     if is_left:
         # which intersecting prim's min is the next to leave when node_max shrinks
+        mins_inside = jnp.min(jnp.where(pt_in, ap, BIG), axis=-1)
         prim_ref = jnp.where(
             in_sibling > 0,
             jnp.min(ap, axis=-1),
-            jnp.where(outside_sibling > 0, common.masked_min(
-                jnp.where(pt_in, ap, BIG), jnp.ones_like(in_sibling), axis=-1), -BIG),
+            jnp.where(outside_sibling > 0, mins_inside, -BIG),
         )
         event_coord = common.masked_max(prim_ref, isect, axis=-1)
         at_event = isect * (prim_ref == event_coord[..., None]).astype(jnp.float32)
         numer = jnp.sum(areas * at_event, axis=-1) * 0.5
         denom = node_max - event_coord
     else:
+        maxs_inside = jnp.max(jnp.where(pt_in, ap, -BIG), axis=-1)
         prim_ref = jnp.where(
             in_sibling > 0,
             jnp.max(ap, axis=-1),
-            jnp.where(outside_sibling > 0, common.masked_max(
-                jnp.where(pt_in, ap, -BIG), jnp.ones_like(in_sibling), axis=-1), BIG),
+            jnp.where(outside_sibling > 0, maxs_inside, BIG),
         )
         event_coord = common.masked_min(prim_ref, isect, axis=-1)
         at_event = isect * (prim_ref == event_coord[..., None]).astype(jnp.float32)

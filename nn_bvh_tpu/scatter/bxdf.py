@@ -48,7 +48,7 @@ def fr_dielectric(cos_i: Array, eta: Array) -> Array:
     sin2_i = 1.0 - cos_i * cos_i
     sin2_t = sin2_i / (eta * eta)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = vm.safe_sqrt(1.0 - sin2_t)
     r_parl = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-9)
     r_perp = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-9)
     f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
@@ -124,9 +124,9 @@ def tr_sample_wm(w: Array, u: Array, ax: Array, ay: Array) -> Array:
     )
     t2 = vm.cross(wh, t1)
     p = sampling.sample_uniform_disk_concentric(u)
-    h = jnp.sqrt(jnp.maximum(0.0, 1.0 - p[..., 0] ** 2))
+    h = vm.safe_sqrt(1.0 - p[..., 0] ** 2)
     py = vm.lerp((1.0 + wh[..., 2]) / 2.0, h, p[..., 1])
-    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - p[..., 0] ** 2 - py**2))
+    pz = vm.safe_sqrt(1.0 - p[..., 0] ** 2 - py**2)
     nh = p[..., 0:1] * t1 + py[..., None] * t2 + pz[..., None] * wh
     return vm.normalize(
         jnp.stack(
@@ -163,24 +163,36 @@ class MaterialCtx(NamedTuple):
     k: Array
 
 
-def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array) -> MaterialCtx:
-    """Fetch + spectrally expand per-lane material params."""
+def material_records(scene: scene_mod.CompiledScene) -> Array:
+    """(M, 11) fused material table, built in-jit so gradients flow to
+    mat_coeffs/mat_scale: [0 type | 1:4 coeffs | 4 scale | 5:11 params]."""
+    return jnp.concatenate(
+        [
+            scene.mat_type[:, None].astype(jnp.float32),
+            scene.mat_coeffs,
+            scene.mat_scale[:, None],
+            scene.mat_params,
+        ],
+        axis=-1,
+    )
+
+
+def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
+                    mat_all: Array | None = None) -> MaterialCtx:
+    """Fetch + spectrally expand per-lane material params (ONE gather)."""
     from ..core import rgb2spec
 
-    mid = jnp.maximum(mat_id, 0)
-    coeffs = scene.mat_coeffs[mid]
-    scale = scene.mat_scale[mid]
-    refl = rgb2spec.eval_sigmoid_poly(coeffs, lam) * scale[..., None]
-    params = scene.mat_params[mid]
-    ax = roughness_to_alpha(params[..., 0])
-    ay = roughness_to_alpha(params[..., 1])
+    if mat_all is None:
+        mat_all = material_records(scene)
+    rec = mat_all[jnp.maximum(mat_id, 0)]
+    refl = rgb2spec.eval_sigmoid_poly(rec[..., 1:4], lam) * rec[..., 4:5]
     return MaterialCtx(
-        mat_type=scene.mat_type[mid],
+        mat_type=rec[..., 0].astype(jnp.int32),
         refl=jnp.clip(refl, 0.0, None),
-        ax=ax,
-        ay=ay,
-        eta=params[..., 2],
-        k=params[..., 3],
+        ax=roughness_to_alpha(rec[..., 5]),
+        ay=roughness_to_alpha(rec[..., 6]),
+        eta=rec[..., 7],
+        k=rec[..., 8],
     )
 
 

@@ -6,8 +6,10 @@ per-lane tag dispatch. Area lights sample the spherical triangle (solid-angle
 sampling, shapes.h:1099) with an area-sampling fallback for small subtended
 angles, matching Triangle::Sample's strategy switch.
 
-The uniform light *sampler* here corresponds to UniformLightSampler
-(lightsamplers.h:26); the power and BVH samplers layer on top.
+TPU gather discipline: all per-light attributes are fused into one
+(L, 12) record table built *inside* jit from the scene columns (differentiable
+w.r.t. light_scale/coeffs) — one gather per lane instead of five:
+  [0 type | 1:4 pos | 4:7 coeffs | 7 scale | 8:12 params(tri, twosided, ..)]
 """
 
 from __future__ import annotations
@@ -32,44 +34,54 @@ class LightLiSample(NamedTuple):
     valid: Array     # (...,) bool
 
 
-def light_spectrum(scene: scene_mod.CompiledScene, light_id: Array, lam: Array) -> Array:
-    """Emission spectrum of light_id at sampled wavelengths: RGBIlluminantSpectrum
-    semantics (spectrum.h:587) — sigmoid-poly chroma x normalized illuminant x scale."""
-    lid = jnp.maximum(light_id, 0)
-    coeffs = scene.light_coeffs[lid]
-    scale = scene.light_scale[lid]
-    return (
-        rgb2spec.eval_sigmoid_poly(coeffs, lam)
-        * spectrum.illuminant_d_normalized(lam)
-        * scale[..., None]
+def light_records(scene: scene_mod.CompiledScene) -> Array:
+    """(L, 12) fused light table, built in-jit (gradients flow to
+    light_coeffs / light_scale)."""
+    return jnp.concatenate(
+        [
+            scene.light_type[:, None].astype(jnp.float32),
+            scene.light_pos,
+            scene.light_coeffs,
+            scene.light_scale[:, None],
+            scene.light_params,
+        ],
+        axis=-1,
     )
 
 
-def area_light_l(scene: scene_mod.CompiledScene, prim: Array, ng: Array, w_out: Array,
-                 lam: Array) -> Array:
-    """Emitted radiance of an emissive triangle toward w_out
-    (DiffuseAreaLight::L, lights.h:631-area)."""
-    lid = scene.tri_light[jnp.maximum(prim, 0)]
-    has = (prim >= 0) & (lid >= 0)
-    two_sided = scene.light_params[jnp.maximum(lid, 0), 1] > 0
+def record_spectrum(rec: Array, lam: Array) -> Array:
+    """Emission spectrum from a gathered record: RGBIlluminantSpectrum
+    semantics (spectrum.h:587)."""
+    return (
+        rgb2spec.eval_sigmoid_poly(rec[..., 4:7], lam)
+        * spectrum.illuminant_d_normalized(lam)
+        * rec[..., 7:8]
+    )
+
+
+def area_light_l_rec(light_rec: Array, has_light: Array, ng: Array, w_out: Array,
+                     lam: Array) -> Array:
+    """Emitted radiance toward w_out from a hit on an emissive triangle whose
+    light record was already gathered (DiffuseAreaLight::L, lights.h:631)."""
+    two_sided = light_rec[..., 9] > 0
     front = vm.dot(ng, w_out) > 0
-    emit = has & (front | two_sided)
-    return jnp.where(emit[..., None], light_spectrum(scene, lid, lam), 0.0)
+    emit = has_light & (front | two_sided)
+    return jnp.where(emit[..., None], record_spectrum(light_rec, lam), 0.0)
 
 
 def sample_li(
     scene: scene_mod.CompiledScene,
+    light_all: Array,
     light_id: Array,
     p: Array,
     lam: Array,
     u2: Array,
 ) -> LightLiSample:
     """SampleLi for a per-lane chosen light id. p: (...,3); u2: (...,2)."""
-    lid = jnp.maximum(light_id, 0)
-    ltype = scene.light_type[lid]
-    lpos = scene.light_pos[lid]
-    lparams = scene.light_params[lid]
-    emit = light_spectrum(scene, lid, lam)
+    rec = light_all[jnp.maximum(light_id, 0)]          # 1 gather
+    ltype = rec[..., 0].astype(jnp.int32)
+    lpos = rec[..., 1:4]
+    emit = record_spectrum(rec, lam)
 
     # ---- point (lights.h PointLight) ------------------------------------
     to_l = lpos - p
@@ -78,19 +90,17 @@ def sample_li(
     li_point = emit / d2[..., None]
     dist_point = jnp.sqrt(d2)
 
-    # ---- distant (lights.h DistantLight): pos stores direction TO light --
+    # ---- distant: pos stores direction TO light -------------------------
     wi_dist = jnp.broadcast_to(lpos, p.shape)
-    li_dist = emit
 
     # ---- uniform infinite ------------------------------------------------
     wi_inf = sampling.sample_uniform_sphere(u2)
-    li_inf = emit
     pdf_inf = jnp.full(p.shape[:-1], sampling.UNIFORM_SPHERE_PDF, jnp.float32)
 
-    # ---- area triangle ---------------------------------------------------
-    tri_idx = lparams[..., 0].astype(jnp.int32)
-    tp = scene.tri_p[jnp.maximum(tri_idx, 0)]  # (..., 3, 3)
-    v0, v1, v2 = tp[..., 0, :], tp[..., 1, :], tp[..., 2, :]
+    # ---- area triangle (verts via one tri_shade gather) ------------------
+    tri_idx = rec[..., 8].astype(jnp.int32)
+    tv = scene.tri_shade[jnp.maximum(tri_idx, 0), 0:9]  # 1 gather
+    v0, v1, v2 = tv[..., 0:3], tv[..., 3:6], tv[..., 6:9]
     bary, pdf_sa, degen = sampling.sample_spherical_triangle(v0, v1, v2, p, u2)
     lp = bary[..., 0:1] * v0 + bary[..., 1:2] * v1 + bary[..., 2:3] * v2
     to_lp = lp - p
@@ -99,10 +109,9 @@ def sample_li(
     wi_area = to_lp / dist_a[..., None]
     ng = triangle.geometric_normal(v0, v1, v2)
     cos_l = vm.dot(ng, -wi_area)
-    two_sided = lparams[..., 1] > 0
+    two_sided = rec[..., 9] > 0
     front_ok = two_sided | (cos_l > 0)
     area_t = triangle.area(v0, v1, v2)
-    # area-sampling fallback pdf when solid angle is degenerate
     pdf_area_fallback = d2a / jnp.maximum(jnp.abs(cos_l) * area_t, 1e-12)
     pdf_a = jnp.where(degen, pdf_area_fallback, pdf_sa)
     li_area = jnp.where(front_ok[..., None], emit, 0.0)
@@ -114,7 +123,7 @@ def sample_li(
 
     conds = [is_point, is_dist, is_inf, is_area]
     wi = jnp.select([c[..., None] for c in conds], [wi_point, wi_dist, wi_inf, wi_area], wi_point)
-    li = jnp.select([c[..., None] for c in conds], [li_point, li_dist, li_inf, li_area],
+    li = jnp.select([c[..., None] for c in conds], [li_point, emit, emit, li_area],
                     jnp.zeros_like(li_point))
     inf_f = jnp.full(p.shape[:-1], jnp.inf, jnp.float32)
     dist = jnp.select(conds, [dist_point, inf_f, inf_f, dist_a], inf_f)
@@ -126,37 +135,17 @@ def sample_li(
     return LightLiSample(wi=wi, dist=dist, li=li, pdf=pdf, is_delta=is_delta, valid=valid)
 
 
-def pdf_li(scene: scene_mod.CompiledScene, light_id: Array, p: Array, wi: Array) -> Array:
-    """Solid-angle pdf that sample_li would have produced wi from p
-    (Light::PDF_Li analog — needed for BSDF-sampling MIS weights)."""
-    lid = jnp.maximum(light_id, 0)
-    ltype = scene.light_type[lid]
-    lparams = scene.light_params[lid]
-
-    pdf_inf = jnp.full(p.shape[:-1], sampling.UNIFORM_SPHERE_PDF, jnp.float32)
-
-    tri_idx = lparams[..., 0].astype(jnp.int32)
-    tp = scene.tri_p[jnp.maximum(tri_idx, 0)]
-    v0, v1, v2 = tp[..., 0, :], tp[..., 1, :], tp[..., 2, :]
-    omega = triangle.solid_angle(v0, v1, v2, p)
-    pdf_area = jnp.where(omega > 1e-5, 1.0 / jnp.maximum(omega, 1e-12), 0.0)
-    # (the <1e-5 fallback branch uses area sampling; its pdf needs the hit
-    #  point, handled by the caller via the emitted-hit MIS path)
-
-    return jnp.select(
-        [
-            ltype == scene_mod.LIGHT_UNIFORM_INFINITE,
-            ltype == scene_mod.LIGHT_AREA_TRI,
-        ],
-        [pdf_inf, pdf_area],
-        jnp.zeros(p.shape[:-1], jnp.float32),
-    )
+def area_pdf_li_from_verts(v0: Array, v1: Array, v2: Array, ref_p: Array) -> Array:
+    """Solid-angle pdf that triangle solid-angle sampling would give for a
+    direction hitting this triangle from ref_p (Triangle::PDF, shapes.h) —
+    used for MIS at emissive hits; verts come from the already-gathered
+    tri_shade record of the hit."""
+    omega = triangle.solid_angle(v0, v1, v2, ref_p)
+    return jnp.where(omega > 1e-5, 1.0 / jnp.maximum(omega, 1e-12), 0.0)
 
 
 def infinite_le(scene: scene_mod.CompiledScene, d: Array, lam: Array) -> Array:
-    """Total radiance from infinite lights for escaped rays (Light::Le).
-
-    Sums over all uniform-infinite lights (a scene has few)."""
+    """Total radiance from infinite lights for escaped rays (Light::Le)."""
     if scene.n_lights == 0:
         return jnp.zeros(d.shape[:-1] + (spectrum.N_SPECTRUM_SAMPLES,), jnp.float32)
     is_inf = scene.light_type == scene_mod.LIGHT_UNIFORM_INFINITE

@@ -46,19 +46,27 @@ def make_film(height: int, width: int) -> Film:
 
 
 def add_samples(film: Film, pixel_idx: Array, L: Array, lam: Array, lam_pdf: Array,
-                filter_weight: Array | None = None) -> Film:
+                filter_weight: Array | None = None, sequential: bool = False) -> Film:
     """Accumulate spectral radiance samples (RGBFilm::AddSample analog).
 
     pixel_idx: (R,) flat indices; L: (R,4); lam/lam_pdf: (R,4).
     With filter importance sampling (the reference's FilterSampler), the
     filter weight is constant 1 — jitter position carries the filter.
+
+    sequential=True asserts pixel_idx == arange(H*W) (the standard one-sample-
+    per-pixel wave) and skips the scatter — a plain vector add, which avoids
+    the TPU's slow scatter path.
     """
     xyz = spectrum.spectrum_to_xyz(L, lam, lam_pdf)
     w = jnp.ones(pixel_idx.shape, jnp.float32) if filter_weight is None else filter_weight
     # clamp NaN/inf defensively (film.h RGBFilm max-component clamp)
     xyz = jnp.where(jnp.isfinite(xyz), xyz, 0.0)
-    new_xyz = film.xyz.at[pixel_idx].add(xyz * w[..., None])
-    new_w = film.weight.at[pixel_idx].add(w)
+    if sequential:
+        new_xyz = film.xyz + xyz * w[..., None]
+        new_w = film.weight + w
+    else:
+        new_xyz = film.xyz.at[pixel_idx].add(xyz * w[..., None])
+        new_w = film.weight.at[pixel_idx].add(w)
     return film._replace(xyz=new_xyz, weight=new_w)
 
 

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from ..core import vecmath as vm, sampling, spectrum, samplers
 from ..geometry import scene as scene_mod, triangle
-from ..scatter import bxdf, lights
+from ..scatter import bxdf, lights, lightsamplers
 from .. import accel
+from ..accel import pallas_traverse
 from . import camera as camera_mod, film as film_mod
 
 Array = jax.Array
@@ -47,6 +48,12 @@ class IntegratorConfig(NamedTuple):
     rr_depth: int = 1             # start RR after this depth (Path only)
     sample_lights: bool = True
     sample_bsdf: bool = True
+    light_sampler: str = "power"  # uniform | power | bvh (lightsamplers.h analog)
+    kind: str = "path"            # path | simplepath (via mis) | randomwalk | ao
+    ao_max_dist: float = 1e30     # AOIntegrator maxDistance (cpu/integrators.h:296)
+    use_pallas: bool | None = None  # None = auto: Pallas packet kernel on TPU
+    #   (the XLA while-loop traversal measures ~0.001 Mrays/s on TPU vs ~80
+    #   Mrays/s for the packet kernel; XLA path remains the CPU/test anchor)
 
 
 class ShadingPoint(NamedTuple):
@@ -56,31 +63,39 @@ class ShadingPoint(NamedTuple):
     uv: Array      # (R,2)
     mat: Array     # (R,) i32
     prim: Array    # (R,) i32
+    light: Array   # (R,) i32 area-light id of the hit triangle (-1 none)
+    v0: Array      # (R,3) hit-triangle vertices (for emissive-hit MIS pdf)
+    v1: Array
+    v2: Array
 
 
 def _shading_point(scene: scene_mod.CompiledScene, hit: accel.Hit, o: Array, d: Array) -> ShadingPoint:
+    """Hit shading data via ONE fused tri_shade gather (TPU gathers are
+    latency-bound; this replaces 5 separate table gathers)."""
     prim = jnp.maximum(hit.prim, 0)
-    tp = scene.tri_p[prim]
-    tn = scene.tri_n[prim]
-    tuv = scene.tri_uv[prim]
+    rec = scene.tri_shade[prim]  # (R, 26)
+    v0, v1, v2 = rec[..., 0:3], rec[..., 3:6], rec[..., 6:9]
     b0 = 1.0 - hit.b1 - hit.b2
     p = o + jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)[..., None] * d
-    ng = triangle.geometric_normal(tp[..., 0, :], tp[..., 1, :], tp[..., 2, :])
+    ng = vm.normalize(vm.cross(v1 - v0, v2 - v0))
     ns = vm.normalize(
-        b0[..., None] * tn[..., 0, :]
-        + hit.b1[..., None] * tn[..., 1, :]
-        + hit.b2[..., None] * tn[..., 2, :]
+        b0[..., None] * rec[..., 9:12]
+        + hit.b1[..., None] * rec[..., 12:15]
+        + hit.b2[..., None] * rec[..., 15:18]
     )
-    # align shading normal with geometric orientation (interaction.h
-    # SurfaceInteraction ctor adjusts ng to ns hemisphere; we keep ng fixed
-    # for robust offsets and flip ns if degenerate)
     ns = jnp.where(vm.length_squared(ns)[..., None] < 0.5, ng, ns)
     uv = (
-        b0[..., None] * tuv[..., 0, :]
-        + hit.b1[..., None] * tuv[..., 1, :]
-        + hit.b2[..., None] * tuv[..., 2, :]
+        b0[..., None] * rec[..., 18:20]
+        + hit.b1[..., None] * rec[..., 20:22]
+        + hit.b2[..., None] * rec[..., 22:24]
     )
-    return ShadingPoint(p=p, ng=ng, ns=ns, uv=uv, mat=scene.tri_mat[prim], prim=hit.prim)
+    return ShadingPoint(
+        p=p, ng=ng, ns=ns, uv=uv,
+        mat=rec[..., 24].astype(jnp.int32),
+        prim=hit.prim,
+        light=rec[..., 25].astype(jnp.int32),
+        v0=v0, v1=v1, v2=v2,
+    )
 
 
 def trace_wave(
@@ -91,8 +106,39 @@ def trace_wave(
     cfg: IntegratorConfig,
     pixel_idx: Array,
     sample_idx: Array,
+    ls_tables: lightsamplers.LightSamplerTables | None = None,
+    packed: "pallas_traverse.PackedScene | None" = None,
 ):
     """Trace one path per entry of pixel_idx. Returns (L, lam, lam_pdf)."""
+    if ls_tables is None:
+        ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    # host-numpy scenes become jnp constants (numpy can't index by tracers)
+    scene = jax.tree.map(jnp.asarray, scene)
+    dbvh = jax.tree.map(jnp.asarray, dbvh)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = (
+            packed is not None
+            or (jax.default_backend() != "cpu"
+                and pallas_traverse.usable(dbvh, scene.tri_p.shape[0]))
+        )
+    if use_pallas:
+        if packed is None:
+            packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
+        _closest = lambda *a: pallas_traverse._traverse_packed(
+            packed.node_tab, packed.tri_tab, *a, any_hit=False)
+        _any = lambda *a: pallas_traverse._traverse_packed(
+            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
+    else:
+        _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
+        _any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+
+    # visibility is gradient-detached (SURVEY.md §7.1 diff/: gradients flow
+    # through shading, not geometry) — and the traversal while_loop has no
+    # reverse rule anyway
+    sg = jax.lax.stop_gradient
+    isect_closest = lambda *a: jax.tree.map(sg, _closest(*map(sg, a)))
+    isect_any = lambda *a: sg(_any(*map(sg, a)))
     R = pixel_idx.shape[0]
     sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
 
@@ -117,41 +163,52 @@ def trace_wave(
     eta_scale = jnp.ones((R,), jnp.float32)
 
     n_lights = scene.n_lights
-    light_pmf = 1.0 / max(n_lights, 1)
+    mat_all = bxdf.material_records(scene)
+    if n_lights > 0:
+        light_all = lights.light_records(scene)
+        inf_sel_pmf = jnp.sum(
+            jnp.where(
+                scene.light_type == scene_mod.LIGHT_UNIFORM_INFINITE,
+                ls_tables.pmf, 0.0,
+            )
+        )
 
-    for depth in range(cfg.max_depth + 1):
-        base = DIM_PATH_BASE + depth * DIMS_PER_DEPTH
-
+    def add_emission(depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p):
+        """Intersect + escaped-ray + emissive-hit contributions; returns
+        (L, found, sp, wo, hit)."""
         t_max = jnp.where(active, 1e30, -1.0)
-        hit = accel.intersect_closest(dbvh, scene.tri_p, o, d, t_max)
+        hit = isect_closest(o, d, t_max)
         found = active & (hit.prim >= 0)
 
-        # --- escaped rays: infinite lights (HandleEscapedRays,
-        # wavefront/integrator.cpp:495) --------------------------------------
+        # escaped rays: infinite lights (HandleEscapedRays, integrator.cpp:495)
         escaped = active & (hit.prim < 0)
         if n_lights > 0:
             le_inf = lights.infinite_le(scene, d, lam)
             if cfg.mis and cfg.sample_lights:
-                pdf_l = sampling.UNIFORM_SPHERE_PDF * light_pmf
+                pdf_l = sampling.UNIFORM_SPHERE_PDF * inf_sel_pmf
                 w_mis = jnp.where(
                     specular_prev,
                     1.0,
-                    sampling.power_heuristic(1.0, prev_pdf, 1.0, jnp.full((R,), pdf_l)),
+                    sampling.power_heuristic(
+                        1.0, prev_pdf, 1.0, jnp.broadcast_to(pdf_l, (R,))
+                    ),
                 )
             else:
                 w_mis = jnp.where(specular_prev | (not cfg.sample_lights), 1.0, 0.0)
             L = L + jnp.where(escaped[..., None], beta * le_inf * w_mis[..., None], 0.0)
-        active = found
 
         sp = _shading_point(scene, hit, o, d)
         wo = -d
 
-        # --- emissive hits (HandleEmissiveIntersection, integrator.cpp:539) --
+        # emissive hits (HandleEmissiveIntersection, integrator.cpp:539)
         if n_lights > 0:
-            le = lights.area_light_l(scene, sp.prim, sp.ng, wo, lam)
+            lrec = light_all[jnp.maximum(sp.light, 0)]  # 1 gather
+            has_light = found & (sp.light >= 0)
+            le = lights.area_light_l_rec(lrec, has_light, sp.ng, wo, lam)
             if cfg.mis and cfg.sample_lights:
-                lid = scene.tri_light[jnp.maximum(sp.prim, 0)]
-                pdf_l = lights.pdf_li(scene, lid, prev_p, d) * light_pmf
+                pdf_l = lights.area_pdf_li_from_verts(
+                    sp.v0, sp.v1, sp.v2, prev_p
+                ) * lightsamplers.pmf(ls_tables, sp.light)
                 w_mis = jnp.where(
                     specular_prev,
                     1.0,
@@ -160,33 +217,42 @@ def trace_wave(
             else:
                 w_mis = jnp.where(specular_prev | (not cfg.sample_lights), 1.0, 0.0)
             L = L + jnp.where(found[..., None], beta * le * w_mis[..., None], 0.0)
+        return L, found, sp, wo
 
-        if depth == cfg.max_depth:
-            break
+    def bounce(depth, state):
+        """One full wavefront bounce. `depth` is a traced loop counter — the
+        whole path loop compiles ONCE (lax.scan) instead of unrolling,
+        which keeps XLA compile time of the wave under control (the unrolled
+        form took >15 min on the remote TPU compiler)."""
+        o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale = state
+        base = DIM_PATH_BASE + depth * DIMS_PER_DEPTH
 
-        # --- material context -------------------------------------------
-        ctx = bxdf.gather_material(scene, sp.mat, lam)
-        has_mat = sp.mat >= 0
-        active = active & has_mat
+        L, found, sp, wo = add_emission(
+            depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
+        )
+        active = found
+
+        # material context (one fused gather)
+        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all)
+        active = active & (sp.mat >= 0)
         wo_local = vm.to_local(sp.ns, wo)
 
-        # --- direct lighting (SampleLd, integrators.cpp:764 /
-        # wavefront TraceShadowRays, integrator.cpp:575) -------------------
+        # direct lighting (SampleLd, integrators.cpp:764 / TraceShadowRays)
         if cfg.sample_lights and n_lights > 0:
             u_sel = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 3)
             ulu, ulv = samplers.get_2d(sampler_cfg, pixel_idx, sidx, base + 4)
-            light_id = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
-            ls = lights.sample_li(scene, light_id, sp.p, lam, jnp.stack([ulu, ulv], -1))
+            light_id, sel_pmf, _ = lightsamplers.sample(ls_tables, u_sel)
+            ls = lights.sample_li(scene, light_all, light_id, sp.p, lam,
+                                  jnp.stack([ulu, ulv], -1))
             wi_l = ls.wi
             f_l, pdf_b = bxdf.evaluate(ctx, wo_local, vm.to_local(sp.ns, wi_l))
             cos_l = vm.absdot(wi_l, sp.ns)
             want = active & ls.valid & (cos_l > 0) & jnp.any(f_l > 0, axis=-1)
-            # shadow ray
             ng_o = vm.face_forward(sp.ng, wi_l)
             so = vm.offset_ray_origin(sp.p, ng_o, wi_l)
             s_tmax = jnp.where(want, jnp.minimum(ls.dist * 0.999, 1e30), -1.0)
-            occluded = accel.intersect_any(dbvh, scene.tri_p, so, wi_l, s_tmax)
-            pdf_light = ls.pdf * light_pmf
+            occluded = isect_any(so, wi_l, s_tmax)
+            pdf_light = ls.pdf * sel_pmf
             if cfg.mis:
                 w_l = jnp.where(
                     ls.is_delta,
@@ -198,11 +264,24 @@ def trace_wave(
             contrib = beta * f_l * (cos_l * w_l / jnp.maximum(pdf_light, 1e-20))[..., None] * ls.li
             L = L + jnp.where((want & ~occluded)[..., None], contrib, 0.0)
 
-        # --- BSDF sampling / next bounce (EvaluateMaterialsAndBSDFs,
-        # surfscatter.cpp:39) ---------------------------------------------
+        # BSDF sampling / next bounce (EvaluateMaterialsAndBSDFs, surfscatter.cpp:39)
         uc = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 0)
         ubu, ubv = samplers.get_2d(sampler_cfg, pixel_idx, sidx, base + 1)
-        bs = bxdf.sample(ctx, wo_local, uc, jnp.stack([ubu, ubv], -1))
+        if cfg.kind == "randomwalk":
+            # RandomWalkIntegrator (cpu/integrators.h:115): uniform-sphere
+            # direction, f evaluated, pdf = 1/4pi — the teaching estimator
+            wi_rw = sampling.sample_uniform_sphere(jnp.stack([ubu, ubv], -1))
+            f_rw, _ = bxdf.evaluate(ctx, wo_local, wi_rw)
+            bs = bxdf.BSDFSample(
+                wi=wi_rw, f=f_rw,
+                pdf=jnp.full((R,), sampling.UNIFORM_SPHERE_PDF),
+                specular=jnp.zeros((R,), bool),
+                transmission=jnp.zeros((R,), bool),
+                eta=jnp.ones((R,)),
+                valid=jnp.any(f_rw > 0, axis=-1),
+            )
+        else:
+            bs = bxdf.sample(ctx, wo_local, uc, jnp.stack([ubu, ubv], -1))
         wi_world = vm.from_local(sp.ns, bs.wi)
         cos_b = vm.absdot(wi_world, sp.ns)
         beta_new = beta * bs.f * (cos_b / jnp.maximum(bs.pdf, 1e-20))[..., None]
@@ -217,17 +296,88 @@ def trace_wave(
         o = jnp.where(active[..., None], vm.offset_ray_origin(sp.p, ng_o, wi_world), o)
         d = jnp.where(active[..., None], wi_world, d)
 
-        # --- Russian roulette (Path only; integrators.cpp RR on beta*etaScale)
-        if cfg.mis and depth >= cfg.rr_depth:
+        # Russian roulette (Path only; integrators.cpp RR on beta*etaScale),
+        # gated by the traced depth
+        if cfg.mis:
             u_rr = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 6)
             m = jnp.max(beta, axis=-1) * eta_scale
-            q = jnp.maximum(0.0, 1.0 - m)
+            q = jnp.where(depth >= cfg.rr_depth, jnp.maximum(0.0, 1.0 - m), 0.0)
             die = active & (u_rr < q)
             active = active & ~die
             beta = jnp.where(
                 active[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
             )
 
+        return (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale)
+
+    state = (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale)
+    if cfg.max_depth > 0:
+        # lax.scan (not fori_loop): the body compiles once AND reverse-mode
+        # autodiff works; jax.checkpoint bounds backward memory to one bounce
+        def scan_body(s, depth):
+            return bounce(depth, s), None
+
+        state, _ = jax.lax.scan(
+            jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
+        )
+    o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale = state
+    # trailing emission-only segment (the depth == max_depth break)
+    L, _, _, _ = add_emission(
+        cfg.max_depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
+    )
+
+    return L, lam, lam_pdf
+
+
+def trace_ao(
+    scene: scene_mod.CompiledScene,
+    dbvh: accel.DeviceBVH,
+    cam: camera_mod.Camera,
+    sampler_cfg: samplers.SamplerConfig,
+    cfg: IntegratorConfig,
+    pixel_idx: Array,
+    sample_idx: Array,
+    packed: "pallas_traverse.PackedScene | None" = None,
+):
+    """Ambient occlusion (AOIntegrator, cpu/integrators.h:296): cosine-sampled
+    visibility within ao_max_dist. Returns (L, lam, lam_pdf)."""
+    scene = jax.tree.map(jnp.asarray, scene)
+    dbvh = jax.tree.map(jnp.asarray, dbvh)
+    if packed is None and (cfg.use_pallas or (
+            cfg.use_pallas is None and jax.default_backend() != "cpu")):
+        packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
+    if packed is not None:
+        isect_closest = lambda *a: pallas_traverse._traverse_packed(
+            packed.node_tab, packed.tri_tab, *a, any_hit=False)
+        isect_any = lambda *a: pallas_traverse._traverse_packed(
+            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
+    else:
+        isect_closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
+        isect_any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+
+    R = pixel_idx.shape[0]
+    sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
+    upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
+    ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
+    o, d = camera_mod.generate_rays(
+        cam, pixel_idx, jnp.stack([upx, upy], -1), jnp.stack([ulx, uly], -1)
+    )
+    ul = samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_WAVELENGTH)
+    lam, lam_pdf = spectrum.sample_wavelengths_visible(ul)
+
+    hit = isect_closest(o, d, jnp.full((R,), 1e30))
+    found = hit.prim >= 0
+    sp = _shading_point(scene, hit, o, d)
+    ns = vm.face_forward(sp.ns, -d)
+    u1, u2v = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PATH_BASE)
+    wi = vm.from_local(ns, sampling.sample_cosine_hemisphere(jnp.stack([u1, u2v], -1)))
+    so = vm.offset_ray_origin(sp.p, vm.face_forward(sp.ng, wi), wi)
+    s_tmax = jnp.where(found, cfg.ao_max_dist, -1.0)
+    occ = isect_any(so, wi, s_tmax)
+    vis = found & ~occ
+    # cosine-sampled estimator of (1/pi) * integral cos * V  ==> visibility
+    # flat unit spectrum -> near-white RGB after the sensor; misses are 0
+    L = jnp.where(vis[..., None], jnp.ones((R, spectrum.N_SPECTRUM_SAMPLES)), 0.0)
     return L, lam, lam_pdf
 
 
@@ -244,11 +394,31 @@ def make_wave_fn(
     static config (image size, depth, sampler kind) is baked into the trace.
     """
 
+    # build host-side tables first, then upload everything exactly once
+    # (device->host readback over the TPU tunnel is extremely slow)
+    ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and pallas_traverse.usable(
+            dbvh, scene.tri_p.shape[0]
+        )
+    packed = pallas_traverse.PackedScene(dbvh, scene.tri_p) if use_pallas else None
+    scene, dbvh, ls_tables = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
+    cfg = cfg._replace(use_pallas=use_pallas)
+
     def wave(f: film_mod.Film, sample_idx):
         R = cam.width * cam.height
         pixel_idx = jnp.arange(R, dtype=jnp.int32)
-        L, lam, lam_pdf = trace_wave(scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx)
-        return film_mod.add_samples(f, pixel_idx, L, lam, lam_pdf)
+        if cfg.kind == "ao":
+            L, lam, lam_pdf = trace_ao(
+                scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx, packed
+            )
+        else:
+            L, lam, lam_pdf = trace_wave(
+                scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx,
+                ls_tables, packed,
+            )
+        return film_mod.add_samples(f, pixel_idx, L, lam, lam_pdf, sequential=True)
 
     return jax.jit(wave, donate_argnums=(0,))
 
@@ -261,12 +431,19 @@ def render(
     sampler: str = "sobol",
     seed: int = 0,
     cfg: IntegratorConfig = IntegratorConfig(),
+    wave_callback=None,
 ):
     """Progressive render: one 1-spp wave per jit call (the reference's
-    progressive wave loop, cpu/integrators.cpp:162). Returns (H,W,3) linear sRGB."""
+    progressive wave loop, cpu/integrators.cpp:162). Returns (H,W,3) linear sRGB.
+
+    wave_callback(sample_index, film) runs after each wave — the hook for the
+    tev display stream and --write-partial-images (integrators.cpp:190-215).
+    """
     sampler_cfg = samplers.make_sampler(sampler, seed=seed, spp=spp)
     film = film_mod.make_film(cam.height, cam.width)
     wave = make_wave_fn(scene, dbvh, cam, sampler_cfg, cfg)
     for s in range(spp):
         film = wave(film, jnp.int32(s))
+        if wave_callback is not None:
+            wave_callback(s, film)
     return film_mod.develop(film)

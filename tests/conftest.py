@@ -8,8 +8,10 @@ jax is imported anywhere.
 import os
 
 # force CPU: the driver environment presets JAX_PLATFORMS=axon (the tunneled
-# TPU chip); tests must not contend with bench/driver processes for it
+# TPU chip) and the axon plugin ignores the plural JAX_PLATFORMS env var —
+# JAX_PLATFORM_NAME + config.update are what actually stick
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", "tests must not run on the TPU chip"

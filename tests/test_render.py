@@ -52,7 +52,10 @@ class TestFurnace:
     def test_furnace_converges_to_analytic(self, mis):
         sc, dbvh, cam = furnace_scene(albedo=0.5, le=0.5)
         cfg = integrator.IntegratorConfig(max_depth=10, mis=mis, rr_depth=12)
-        img = integrator.render(sc, dbvh, cam, spp=12, sampler="sobol", cfg=cfg)
+        # SimplePath (no MIS) has higher variance: more spp to sit inside the
+        # reference's +-0.025 gate (integrators_test.cpp:55)
+        spp = 12 if mis else 32
+        img = integrator.render(sc, dbvh, cam, spp=spp, sampler="sobol", cfg=cfg)
         mean = float(jnp.mean(img))
         # analytic: 0.5 * sum(0.5^k, k=0..10) ~= 0.9995
         assert abs(mean - 1.0) < TOL, f"furnace mean {mean}"

@@ -1,0 +1,94 @@
+"""CLI tools + aux subsystem tests (imgtool, stats, tree export, display)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from nn_bvh_tpu.utils import image as im, stats
+from nn_bvh_tpu.learn import export as tree_export, data as learn_data, tree_eval
+from nn_bvh_tpu.cli import imgtool
+
+
+class TestImgtool:
+    def _mk(self, tmp_path, name="a.pfm", seed=0, scale=1.0):
+        img = np.random.RandomState(seed).rand(8, 8, 3).astype(np.float32) * scale
+        p = str(tmp_path / name)
+        im.write_pfm(p, img)
+        return p, img
+
+    def test_convert_exposure(self, tmp_path):
+        p, img = self._mk(tmp_path)
+        out = str(tmp_path / "out.pfm")
+        imgtool.main(["convert", p, out, "--exposure", "1.0"])
+        np.testing.assert_allclose(im.read_pfm(out), img * 2, rtol=1e-6)
+
+    def test_diff_and_info(self, tmp_path, capsys):
+        p1, img1 = self._mk(tmp_path, "a.pfm", 1)
+        p2, img2 = self._mk(tmp_path, "b.pfm", 2)
+        imgtool.main(["diff", p1, p2])
+        out = json.loads(capsys.readouterr().out)
+        np.testing.assert_allclose(out["mse"], im.mse(img1, img2), rtol=1e-6)
+        imgtool.main(["info", p1])
+        info = json.loads(capsys.readouterr().out)
+        assert info["resolution"] == [8, 8]
+        assert info["nan"] == 0
+
+    def test_falsecolor_and_average(self, tmp_path):
+        p1, _ = self._mk(tmp_path, "a.pfm", 3)
+        p2, _ = self._mk(tmp_path, "b.pfm", 4)
+        fc = str(tmp_path / "fc.pfm")
+        imgtool.main(["falsecolor", p1, fc])
+        assert im.read_pfm(fc).shape == (8, 8, 3)
+        avg = str(tmp_path / "avg.pfm")
+        imgtool.main(["average", p1, p2, "--output", avg])
+        np.testing.assert_allclose(
+            im.read_pfm(avg), (im.read_pfm(p1) + im.read_pfm(p2)) / 2, rtol=1e-6
+        )
+
+
+class TestStats:
+    def test_counters(self):
+        c = stats.make_counters(stats.RENDER_COUNTERS)
+        c = stats.bump(c, "rays/camera rays", 100)
+        c = stats.bump(c, "rays/camera rays", jnp.float32(28))
+        rep = stats.render_report(c)
+        assert "camera rays" in rep and "128" in rep
+
+    def test_merge(self):
+        a = stats.bump(stats.make_counters(("x/y",)), "x/y", 1)
+        b = stats.bump(stats.make_counters(("x/y",)), "x/y", 2)
+        assert float(stats.merge(a, b)["x/y"]) == 3
+
+
+class TestTreeExport:
+    def test_roundtrip(self, tmp_path):
+        planes = np.array([[1, 0, 0, 0.5], [0, 1, 0, 0.2], [0, 0, 1, 0.8]], np.float32)
+        p = str(tmp_path / "tree.bin")
+        tree_export.export_tree(p, planes)
+        np.testing.assert_array_equal(tree_export.import_tree(p), planes)
+
+    def test_export_variables(self, tmp_path):
+        import jax
+        from nn_bvh_tpu.learn import treenet
+
+        cfg = treenet.TreeNetConfig(levels=2, capacity=8, pc_size=16)
+        params = treenet.init_params(cfg, jax.random.PRNGKey(0))
+        d = str(tmp_path / "vars")
+        tree_export.export_variables(d, params)
+        import os
+
+        files = os.listdir(d)
+        assert len(files) >= 6  # at least the encoder matrices
+
+    def test_planes_to_bvh(self):
+        scene = learn_data.random_scene(n_meshes=2, prims_per_mesh=50, seed=1)
+        prims = scene.base_cloud()
+        planes = tree_eval.greedy_tree(prims, 3)
+        bvh = tree_export.planes_to_bvh(prims, planes)
+        assert sorted(bvh.prim_order.tolist()) == list(range(len(prims)))
+        # traversal-ready: leaves cover all prims
+        meta = bvh.node_meta
+        assert meta[meta[:, 1] > 0][:, 1].sum() == len(prims)
