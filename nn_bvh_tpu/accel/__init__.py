@@ -14,14 +14,24 @@ from .traverse import DeviceBVH, Hit, intersect_closest, intersect_any, intersec
 def build_scene_bvh(scene, method: str = "sah"):
     """Build a BVH over a CompiledScene and reorder its triangles so leaves are
     contiguous ranges (the reference reorders primitives the same way,
-    aggregates.cpp:192 orderedPrims). Returns (scene_reordered, DeviceBVH).
+    aggregates.cpp:192 orderedPrims). Returns (scene_reordered, DeviceBVH, BVH).
     """
     n = scene.n_tris
     tri_p = np.asarray(scene.tri_p)[:n]
     lo, hi = triangle_bounds(tri_p)
     builder = {"sah": build_sah, "median": build_median, "lbvh": build_median}[method]
     bvh = builder(lo, hi)
+    return apply_bvh_to_scene(scene, bvh)
 
+
+def apply_bvh_to_scene(scene, bvh: BVH):
+    """Reorder a CompiledScene's triangles to match a (possibly learned) BVH's
+    leaf layout and return (scene_reordered, host DeviceBVH, bvh). This is how
+    a treeNet-predicted tree (learn.export.planes_to_bvh) plugs into the
+    renderer — the neural-BVH <-> renderer coupling the reference never wired
+    up (SURVEY.md §0)."""
+    n = scene.n_tris
+    assert len(bvh.prim_order) == n, (len(bvh.prim_order), n)
     order = bvh.prim_order  # (n,) original index per new slot
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)

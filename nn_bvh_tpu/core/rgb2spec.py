@@ -157,3 +157,30 @@ def lookup_coeffs(table: Array, rgb: Array) -> tuple[Array, Array]:
                 )
                 c = c + w[..., None] * gather(di, dj, dk)
     return c, scale
+
+
+def rgb_image_to_coeffs(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) RGB -> (H, W, 4) [c0, c1, c2, scale] via trilinear lookup in
+    the cached coefficient table (host-side; the per-texel analog of pbrt's
+    RGBToSpectrumTable applied at scene-build time so the device never walks
+    the 33^3 table)."""
+    img = np.asarray(img, np.float32)
+    table = get_table()
+    res = _TABLE_RES
+    m = img.max(-1)
+    scale = np.where(m > 1.0, 2.0 * m, 1.0).astype(np.float32)
+    norm = np.clip(img / scale[..., None], 0.0, 1.0)
+    f = norm * (res - 1)
+    i0 = np.minimum(f.astype(np.int64), res - 2)
+    fr = f - i0
+    out = np.zeros(img.shape[:-1] + (3,), np.float32)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                w = (
+                    (fr[..., 0] if di else 1 - fr[..., 0])
+                    * (fr[..., 1] if dj else 1 - fr[..., 1])
+                    * (fr[..., 2] if dk else 1 - fr[..., 2])
+                )
+                out += w[..., None] * table[i0[..., 0] + di, i0[..., 1] + dj, i0[..., 2] + dk]
+    return np.concatenate([out, scale[..., None]], axis=-1)

@@ -225,10 +225,13 @@ def parse_file(path: str) -> ParseResult:
         refl = pvec(params, "reflectance", np.array([0.5, 0.5, 0.5], np.float32))
         if np.isscalar(refl) or refl.ndim == 0:
             refl = np.full(3, float(refl), np.float32)
+        tex_id = -1
         if isinstance(pget(params, "reflectance"), str):
-            tex = textures.get(pget(params, "reflectance"))
-            refl = (tex or {}).get("value", np.array([0.5, 0.5, 0.5], np.float32))
-            warn("texture reflectance approximated by constant")
+            tex = textures.get(pget(params, "reflectance")) or {}
+            tex_id = tex.get("tex_id", -1)
+            refl = tex.get("value", np.array([0.5, 0.5, 0.5], np.float32))
+            if tex_id < 0:
+                warn("texture reflectance approximated by constant")
         rough = pget(params, "roughness", 0.0)
         if isinstance(rough, str):
             rough = 0.1
@@ -245,9 +248,9 @@ def parse_file(path: str) -> ParseResult:
         if kind == "conductor":
             eta_c = eta if "eta" in params else 0.2
             return builder.add_material(kind, reflectance=refl, roughness=float(rough),
-                                        eta=float(eta_c), k=float(k))
+                                        eta=float(eta_c), k=float(k), texture=tex_id)
         return builder.add_material(kind, reflectance=refl, roughness=float(rough),
-                                    eta=float(eta), k=float(k))
+                                    eta=float(eta), k=float(k), texture=tex_id)
 
     def add_shape(stype: str, params: dict):
         target = objects[current_object] if current_object else None
@@ -435,9 +438,29 @@ def parse_file(path: str) -> ParseResult:
             cls = _unquote(ts.next())
             p = parse_params(ts)
             val = pvec(p, "value", np.array([0.5, 0.5, 0.5], np.float32))
-            textures[name] = {"class": cls, "value": np.atleast_1d(val), "params": p}
-            if cls not in ("constant", "scale"):
+            rec = {"class": cls, "value": np.atleast_1d(val), "params": p, "tex_id": -1}
+            if cls == "imagemap":
+                fn = pget(p, "filename", "")
+                try:
+                    from ..utils import image as image_mod
+
+                    full = os.path.join(ts.base, fn)
+                    img = (image_mod.read_pfm(full) if fn.endswith(".pfm")
+                           else image_mod.read_exr(full))
+                    rec["tex_id"] = builder.add_texture_image(img)
+                except Exception as e:
+                    warn(f"imagemap '{fn}' unreadable ({type(e).__name__}), constant")
+            elif cls == "checkerboard":
+                t1 = pvec(p, "tex1", np.array([0.1, 0.1, 0.1], np.float32))
+                t2 = pvec(p, "tex2", np.array([0.9, 0.9, 0.9], np.float32))
+                us = float(pget(p, "uscale", 8.0))
+                if not (isinstance(t1, str) or isinstance(t2, str)):
+                    rec["tex_id"] = builder.add_texture_checker(
+                        np.broadcast_to(np.atleast_1d(t1), (3,)),
+                        np.broadcast_to(np.atleast_1d(t2), (3,)), us)
+            elif cls not in ("constant", "scale"):
                 warn(f"texture class '{cls}' approximated as constant")
+            textures[name] = rec
         elif tok == "AreaLightSource":
             _unquote(ts.next())  # "diffuse"
             p = parse_params(ts)
@@ -464,12 +487,23 @@ def parse_file(path: str) -> ParseResult:
                 m = float(max(L.max(), 1e-9))
                 builder.add_distant_light(d, L / m, scale=sc * m)
             elif ltype == "infinite":
-                L = pvec(p, "L", np.array([1.0, 1, 1], np.float32))
-                if isinstance(L, str) or pget(p, "filename") is not None:
-                    warn("image infinite light approximated as uniform")
-                    L = np.array([1.0, 1, 1], np.float32)
-                m = float(max(np.max(L), 1e-9))
-                builder.add_uniform_infinite_light(np.asarray(L) / m, scale=sc * m)
+                fn = pget(p, "filename")
+                if fn is not None:
+                    try:
+                        from ..utils import image as image_mod
+
+                        full = os.path.join(ts.base, fn)
+                        img = (image_mod.read_pfm(full) if fn.endswith(".pfm")
+                               else image_mod.read_exr(full))
+                        # pbrt-v4 infinite maps are equal-area octahedral
+                        builder.set_environment_map(img, scale=sc)
+                    except Exception as e:
+                        warn(f"env map '{fn}' unreadable ({type(e).__name__}), uniform")
+                        builder.add_uniform_infinite_light((1, 1, 1), scale=sc)
+                else:
+                    L = pvec(p, "L", np.array([1.0, 1, 1], np.float32))
+                    m = float(max(np.max(np.atleast_1d(L)), 1e-9))
+                    builder.add_uniform_infinite_light(np.asarray(L) / m, scale=sc * m)
             else:
                 warn(f"light '{ltype}' unsupported, skipped")
         elif tok == "Shape":

@@ -43,6 +43,14 @@ LIGHT_SPOT = 5
 N_MAT_PARAMS = 6
 N_LIGHT_PARAMS = 4
 
+# texture kinds (base/texture.h tag list analog; evaluated per lane)
+TEX_NONE = -1
+TEX_IMAGE = 0
+TEX_CHECKER = 1
+TEX_UV_SCALE = 2  # reserved
+
+TEX_RES = 256  # all image textures resampled to a fixed-size array stack
+
 
 class CompiledScene(NamedTuple):
     """Frozen device-side scene. All arrays are SoA jnp arrays.
@@ -76,6 +84,19 @@ class CompiledScene(NamedTuple):
 
     # scene bounds (2,3)
     bounds: Array
+
+    # textures: a stack of fixed-res spectral-coefficient images. Each texel
+    # holds [c0, c1, c2, scale] (sigmoid-polynomial uplift precomputed on host
+    # per texel — the device-side analog of pbrt's RGBToSpectrumTable lookup,
+    # without the 8-gather trilinear table walk). (T, TEX_RES, TEX_RES, 4).
+    tex_coeffs: Array = None
+    # env map (ImageInfiniteLight, equal-area octahedral like the reference):
+    # (He, We, 4) coefficient image + luminance distribution tables
+    env_coeffs: Array = None
+    env_cond_cdf: Array = None   # (He, We+1)
+    env_marg_cdf: Array = None   # (He+1,)
+    env_marg_func: Array = None  # (He,)
+    env_luminance: Array = None  # (He, We) sampling function
 
     # fused per-triangle shading record (N, 26), built after BVH reorder:
     # [v0 v1 v2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_id | light_id].
@@ -124,8 +145,43 @@ class SceneBuilder:
     _tri_emit: list = field(default_factory=list)  # (rgb, scale, twosided) or None per mesh
     _materials: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
+    _textures: list = field(default_factory=list)   # (TEX_RES,TEX_RES,3) rgb
+    _env_image: "np.ndarray | None" = None          # (He,We,3) equal-area rgb
+    _env_scale: float = 1.0
 
     # ---- materials -------------------------------------------------------
+
+    def add_texture_image(self, rgb_image: np.ndarray) -> int:
+        """Register an RGB image texture (resampled to TEX_RES^2). Returns
+        texture id for add_material(texture=...)."""
+        img = np.asarray(rgb_image, np.float32)
+        h, w = img.shape[:2]
+        yi = (np.arange(TEX_RES) * (h / TEX_RES)).astype(np.int64)
+        xi = (np.arange(TEX_RES) * (w / TEX_RES)).astype(np.int64)
+        self._textures.append(img[yi][:, xi])
+        return len(self._textures) - 1
+
+    def add_texture_checker(self, rgb1=(0.1, 0.1, 0.1), rgb2=(0.9, 0.9, 0.9),
+                            uscale: float = 8.0) -> int:
+        """Checkerboard baked into an image texture (CheckerboardTexture
+        analog; frequency via uscale squares per uv unit)."""
+        t = (np.arange(TEX_RES) * uscale / TEX_RES).astype(np.int64)
+        par = (t[:, None] + t[None, :]) % 2
+        img = np.where(par[..., None] > 0, np.asarray(rgb2, np.float32),
+                       np.asarray(rgb1, np.float32))
+        self._textures.append(img.astype(np.float32))
+        return len(self._textures) - 1
+
+    def set_environment_map(self, equal_area_rgb: np.ndarray, scale: float = 1.0) -> int:
+        """ImageInfiniteLight (lights.h): equal-area octahedral radiance map."""
+        self._env_image = np.asarray(equal_area_rgb, np.float32)
+        self._env_scale = float(scale)
+        self._lights.append(
+            dict(type=LIGHT_IMAGE_INFINITE, pos=np.zeros(3, np.float32),
+                 rgb=np.ones(3, np.float32), scale=scale,
+                 params=np.zeros(N_LIGHT_PARAMS, np.float32))
+        )
+        return len(self._lights) - 1
 
     def add_material(
         self,
@@ -135,6 +191,7 @@ class SceneBuilder:
         eta: float = 1.5,
         k: float = 3.9,
         transmittance: float = 0.0,
+        texture: int = -1,
     ) -> int:
         kinds = {
             "diffuse": MAT_DIFFUSE,
@@ -147,7 +204,10 @@ class SceneBuilder:
             dict(
                 type=kinds[kind],
                 reflectance=np.asarray(reflectance, np.float32),
-                params=np.array([roughness, roughness, eta, k, transmittance, 0.0], np.float32),
+                params=np.array(
+                    [roughness, roughness, eta, k, transmittance, float(texture)],
+                    np.float32,
+                ),
             )
         )
         return len(self._materials) - 1
@@ -318,6 +378,45 @@ class SceneBuilder:
             light_scale = np.zeros(0, np.float32)
             light_params = np.zeros((0, N_LIGHT_PARAMS), np.float32)
 
+        # textures -> per-texel spectral coefficients (host)
+        if self._textures:
+            tex_coeffs = np.stack(
+                [rgb2spec.rgb_image_to_coeffs(t) for t in self._textures]
+            )
+        else:
+            tex_coeffs = np.zeros((1, 1, 1, 4), np.float32)
+
+        # environment map -> coefficient image + luminance sampling tables
+        if self._env_image is not None:
+            env_coeffs = rgb2spec.rgb_image_to_coeffs(self._env_image)
+            lum = (
+                0.2126 * self._env_image[..., 0]
+                + 0.7152 * self._env_image[..., 1]
+                + 0.0722 * self._env_image[..., 2]
+            ).astype(np.float32) + 1e-9
+            he, we = lum.shape
+            row_int = lum.mean(1)
+            cond = np.concatenate(
+                [np.zeros((he, 1), np.float32), np.cumsum(lum, 1) / we], 1
+            ) / np.maximum(row_int[:, None], 1e-20)
+            marg_cdf = np.concatenate([[0.0], np.cumsum(row_int) / he]).astype(np.float32)
+            integral = marg_cdf[-1]
+            marg_cdf = marg_cdf / max(integral, 1e-20)
+            env = dict(
+                env_coeffs=env_coeffs, env_cond_cdf=cond.astype(np.float32),
+                env_marg_cdf=marg_cdf,
+                env_marg_func=(row_int / max(integral, 1e-20)).astype(np.float32),
+                env_luminance=(lum / max(integral, 1e-20)).astype(np.float32),
+            )
+        else:
+            env = dict(
+                env_coeffs=np.zeros((1, 1, 4), np.float32),
+                env_cond_cdf=np.zeros((1, 2), np.float32),
+                env_marg_cdf=np.zeros((2,), np.float32),
+                env_marg_func=np.zeros((1,), np.float32),
+                env_luminance=np.zeros((1, 1), np.float32),
+            )
+
         lo = tri_p[:n].reshape(-1, 3).min(0)
         hi = tri_p[:n].reshape(-1, 3).max(0)
 
@@ -343,6 +442,8 @@ class SceneBuilder:
             light_params=light_params,
             n_lights=int(len(lights)),
             bounds=np.stack([lo, hi]),
+            tex_coeffs=tex_coeffs,
+            **env,
         )
 
 

@@ -178,14 +178,31 @@ def material_records(scene: scene_mod.CompiledScene) -> Array:
 
 
 def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
-                    mat_all: Array | None = None) -> MaterialCtx:
-    """Fetch + spectrally expand per-lane material params (ONE gather)."""
+                    mat_all: Array | None = None, uv: Array | None = None) -> MaterialCtx:
+    """Fetch + spectrally expand per-lane material params (ONE gather).
+
+    When uv is given and the scene carries textures, materials with a texture
+    id (mat_params[5]) read their base color from the per-texel spectral-
+    coefficient stack (the TextureEvaluator analog; nearest filtering)."""
     from ..core import rgb2spec
 
     if mat_all is None:
         mat_all = material_records(scene)
     rec = mat_all[jnp.maximum(mat_id, 0)]
-    refl = rgb2spec.eval_sigmoid_poly(rec[..., 1:4], lam) * rec[..., 4:5]
+    coeffs = rec[..., 1:4]
+    scale = rec[..., 4:5]
+    has_textures = scene.tex_coeffs is not None and scene.tex_coeffs.size > 4
+    if has_textures and uv is not None:
+        tex_id = rec[..., 10].astype(jnp.int32)
+        t, th, tw, _ = scene.tex_coeffs.shape
+        uvw = uv - jnp.floor(uv)  # wrap (UVMapping repeat)
+        x = jnp.clip((uvw[..., 0] * tw).astype(jnp.int32), 0, tw - 1)
+        y = jnp.clip((uvw[..., 1] * th).astype(jnp.int32), 0, th - 1)
+        texel = scene.tex_coeffs[jnp.clip(tex_id, 0, t - 1), y, x]  # 1 gather
+        use = (tex_id >= 0)[..., None]
+        coeffs = jnp.where(use, texel[..., 0:3], coeffs)
+        scale = jnp.where(use, texel[..., 3:4], scale)
+    refl = rgb2spec.eval_sigmoid_poly(coeffs, lam) * scale
     return MaterialCtx(
         mat_type=rec[..., 0].astype(jnp.int32),
         refl=jnp.clip(refl, 0.0, None),

@@ -97,6 +97,13 @@ def sample_li(
     wi_inf = sampling.sample_uniform_sphere(u2)
     pdf_inf = jnp.full(p.shape[:-1], sampling.UNIFORM_SPHERE_PDF, jnp.float32)
 
+    # ---- image infinite (env map importance sampling) --------------------
+    if has_env_map(scene):
+        wi_img, pdf_img = env_sample_dir(scene, u2)
+        li_img = env_le(scene, wi_img, lam)
+    else:
+        wi_img, pdf_img, li_img = wi_inf, pdf_inf, emit
+
     # ---- area triangle (verts via one tri_shade gather) ------------------
     tri_idx = rec[..., 8].astype(jnp.int32)
     tv = scene.tri_shade[jnp.maximum(tri_idx, 0), 0:9]  # 1 gather
@@ -120,15 +127,18 @@ def sample_li(
     is_dist = ltype == scene_mod.LIGHT_DISTANT
     is_inf = ltype == scene_mod.LIGHT_UNIFORM_INFINITE
     is_area = ltype == scene_mod.LIGHT_AREA_TRI
+    is_img = ltype == scene_mod.LIGHT_IMAGE_INFINITE
 
-    conds = [is_point, is_dist, is_inf, is_area]
-    wi = jnp.select([c[..., None] for c in conds], [wi_point, wi_dist, wi_inf, wi_area], wi_point)
-    li = jnp.select([c[..., None] for c in conds], [li_point, emit, emit, li_area],
+    conds = [is_point, is_dist, is_inf, is_area, is_img]
+    wi = jnp.select([c[..., None] for c in conds],
+                    [wi_point, wi_dist, wi_inf, wi_area, wi_img], wi_point)
+    li = jnp.select([c[..., None] for c in conds],
+                    [li_point, emit, emit, li_area, li_img],
                     jnp.zeros_like(li_point))
     inf_f = jnp.full(p.shape[:-1], jnp.inf, jnp.float32)
-    dist = jnp.select(conds, [dist_point, inf_f, inf_f, dist_a], inf_f)
+    dist = jnp.select(conds, [dist_point, inf_f, inf_f, dist_a, inf_f], inf_f)
     one = jnp.ones(p.shape[:-1], jnp.float32)
-    pdf = jnp.select(conds, [one, one, pdf_inf, pdf_a], one)
+    pdf = jnp.select(conds, [one, one, pdf_inf, pdf_a, pdf_img], one)
     is_delta = is_point | is_dist
     valid = (light_id >= 0) & (pdf > 0) & jnp.any(li > 0, axis=-1)
     valid = valid & jnp.where(is_area, front_ok, True)
@@ -144,6 +154,74 @@ def area_pdf_li_from_verts(v0: Array, v1: Array, v2: Array, ref_p: Array) -> Arr
     return jnp.where(omega > 1e-5, 1.0 / jnp.maximum(omega, 1e-12), 0.0)
 
 
+def has_env_map(scene: scene_mod.CompiledScene) -> bool:
+    """Static: does the scene carry an ImageInfiniteLight env map?"""
+    return scene.env_luminance is not None and scene.env_luminance.size > 1
+
+
+def _env_uv_texel(scene: scene_mod.CompiledScene, uv: Array):
+    he, we = scene.env_luminance.shape
+    x = jnp.clip((uv[..., 0] * we).astype(jnp.int32), 0, we - 1)
+    y = jnp.clip((uv[..., 1] * he).astype(jnp.int32), 0, he - 1)
+    return scene.env_coeffs[y, x], y, x
+
+
+def env_scale_total(scene: scene_mod.CompiledScene) -> Array:
+    return jnp.sum(
+        jnp.where(scene.light_type == scene_mod.LIGHT_IMAGE_INFINITE,
+                  scene.light_scale, 0.0)
+    )
+
+
+def env_le(scene: scene_mod.CompiledScene, d: Array, lam: Array) -> Array:
+    """ImageInfiniteLight::Le — equal-area octahedral lookup (lights.h)."""
+    uv = vm.equal_area_sphere_to_square(d)
+    texel, _, _ = _env_uv_texel(scene, uv)
+    return (
+        rgb2spec.eval_sigmoid_poly(texel[..., 0:3], lam)
+        * texel[..., 3:4]
+        * spectrum.illuminant_d_normalized(lam)
+        * env_scale_total(scene)
+    )
+
+
+def env_pdf_dir(scene: scene_mod.CompiledScene, d: Array) -> Array:
+    """Solid-angle pdf of env-map importance sampling for direction d
+    (ImageInfiniteLight::PDF_Li: the equal-area map is measure-preserving,
+    so pdf_dir = pdf_uv / 4pi)."""
+    uv = vm.equal_area_sphere_to_square(d)
+    _, y, x = _env_uv_texel(scene, uv)
+    return scene.env_luminance[y, x] * sampling.INV_4PI
+
+
+def env_sample_dir(scene: scene_mod.CompiledScene, u2: Array):
+    """Importance-sample the env map: u2 (...,2) -> (dir, pdf_dir)."""
+    he, we = scene.env_luminance.shape
+    y = jnp.clip(jnp.searchsorted(scene.env_marg_cdf, u2[..., 1], side="right") - 1,
+                 0, he - 1)
+    c0 = scene.env_marg_cdf[y]
+    c1 = scene.env_marg_cdf[y + 1]
+    dv = jnp.where(c1 > c0, (u2[..., 1] - c0) / jnp.maximum(c1 - c0, 1e-20), 0.0)
+    v = (y.astype(jnp.float32) + dv) / he
+
+    cond = scene.env_cond_cdf[y]  # (..., we+1)
+    ux = u2[..., 0]
+    flat = cond.reshape(-1, we + 1)
+    x = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(flat, ux.reshape(-1)).reshape(
+        ux.shape
+    ) - 1
+    x = jnp.clip(x, 0, we - 1)
+    d0 = jnp.take_along_axis(cond, x[..., None], axis=-1)[..., 0]
+    d1 = jnp.take_along_axis(cond, x[..., None] + 1, axis=-1)[..., 0]
+    du = jnp.where(d1 > d0, (ux - d0) / jnp.maximum(d1 - d0, 1e-20), 0.0)
+    u = (x.astype(jnp.float32) + du) / we
+
+    uv = jnp.stack([u, v], axis=-1)
+    dirs = vm.equal_area_square_to_sphere(uv)
+    pdf = scene.env_luminance[y, x] * sampling.INV_4PI
+    return dirs, pdf
+
+
 def infinite_le(scene: scene_mod.CompiledScene, d: Array, lam: Array) -> Array:
     """Total radiance from infinite lights for escaped rays (Light::Le)."""
     if scene.n_lights == 0:
@@ -153,4 +231,7 @@ def infinite_le(scene: scene_mod.CompiledScene, d: Array, lam: Array) -> Array:
     cs = scene.light_coeffs.reshape((L,) + (1,) * (lam.ndim - 1) + (3,))
     spec_all = rgb2spec.eval_sigmoid_poly(cs, lam[None])  # (L, ..., S)
     w = jnp.where(is_inf, scene.light_scale, 0.0)
-    return jnp.tensordot(w, spec_all, axes=(0, 0)) * spectrum.illuminant_d_normalized(lam)
+    out = jnp.tensordot(w, spec_all, axes=(0, 0)) * spectrum.illuminant_d_normalized(lam)
+    if has_env_map(scene):
+        out = out + env_le(scene, d, lam)
+    return out

@@ -53,6 +53,10 @@ def compute_light_powers(scene: scene_mod.CompiledScene) -> np.ndarray:
             power[i] = np.pi * radius * radius * scale[i]
         elif t == scene_mod.LIGHT_UNIFORM_INFINITE:
             power[i] = 4 * np.pi**2 * radius * radius * scale[i]
+        elif t == scene_mod.LIGHT_IMAGE_INFINITE:
+            lum = np.asarray(scene.env_luminance)
+            mean_lum = float(lum.mean()) if lum.size > 1 else 1.0
+            power[i] = 4 * np.pi**2 * radius * radius * scale[i] * mean_lum
         elif t == scene_mod.LIGHT_AREA_TRI:
             ti = int(params[i, 0])
             p = tri_p[ti]

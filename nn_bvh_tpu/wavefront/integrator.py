@@ -172,6 +172,12 @@ def trace_wave(
                 ls_tables.pmf, 0.0,
             )
         )
+        env_sel_pmf = jnp.sum(
+            jnp.where(
+                scene.light_type == scene_mod.LIGHT_IMAGE_INFINITE,
+                ls_tables.pmf, 0.0,
+            )
+        )
 
     def add_emission(depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p):
         """Intersect + escaped-ray + emissive-hit contributions; returns
@@ -186,6 +192,8 @@ def trace_wave(
             le_inf = lights.infinite_le(scene, d, lam)
             if cfg.mis and cfg.sample_lights:
                 pdf_l = sampling.UNIFORM_SPHERE_PDF * inf_sel_pmf
+                if lights.has_env_map(scene):
+                    pdf_l = pdf_l + env_sel_pmf * lights.env_pdf_dir(scene, d)
                 w_mis = jnp.where(
                     specular_prev,
                     1.0,
@@ -233,7 +241,7 @@ def trace_wave(
         active = found
 
         # material context (one fused gather)
-        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all)
+        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv)
         active = active & (sp.mat >= 0)
         wo_local = vm.to_local(sp.ns, wo)
 

@@ -112,7 +112,10 @@ class TestTraversal:
         t_clamp = jnp.where(jnp.isfinite(far.t), far.t * 0.5, 1e-3)
         near = accel.intersect_closest(dbvh, tri_sorted, o, d, t_clamp)
         hit = np.asarray(far.prim >= 0)
-        assert not np.any(np.asarray(near.t)[hit] > np.asarray(t_clamp)[hit])
+        # clamping t_max below the first hit must turn those rays into misses
+        near_prim = np.asarray(near.prim)
+        assert np.all(near_prim[hit] == -1)
+        assert np.all(np.isinf(np.asarray(near.t)[hit]))
 
 
 class TestSceneBVH:

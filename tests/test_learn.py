@@ -271,3 +271,53 @@ class TestData:
         s2.__post_init__()
         b2 = s2.next_batch(3)
         np.testing.assert_array_equal(b1, b2)
+
+
+class TestNeuralBVHRendering:
+    """The north-star fusion: a treeNet-predicted tree drives the actual
+    renderer and produces the same image as the SAH BVH (a BVH only changes
+    performance, never radiance)."""
+
+    def test_predicted_tree_renders_identically(self):
+        import jax.numpy as jnp
+        from nn_bvh_tpu import accel
+        from nn_bvh_tpu.geometry import scene as scene_mod, transform as xf
+        from nn_bvh_tpu.learn import export as tree_export
+        from nn_bvh_tpu.wavefront import camera as camera_mod, integrator
+
+        # scene: random blob field + floor + light
+        scene = data.random_scene(n_meshes=3, prims_per_mesh=60, seed=21)
+        prims = scene.base_cloud()
+        tris = data.prims_to_tris(prims)
+
+        b = scene_mod.SceneBuilder()
+        m = b.add_material("diffuse", reflectance=(0.6, 0.5, 0.4))
+        verts = tris.reshape(-1, 3)
+        faces = np.arange(len(verts)).reshape(-1, 3)
+        b.add_mesh(verts, faces, m)
+        b.add_quad((1, 3.5, 1), (2, 3.5, 1), (2, 3.5, 2), (1, 3.5, 2), m,
+                   emission_rgb=(1, 1, 1), emission_scale=8.0, two_sided=True)
+        sc = b.build()
+
+        cam = camera_mod.make_perspective(
+            xf.look_at((1.5, 1.5, -2.0), (1.5, 1.5, 1.5), (0, 1, 0)),
+            fov=50.0, width=16, height=16,
+        )
+        cfg = integrator.IntegratorConfig(max_depth=2, mis=True, rr_depth=99)
+
+        # reference: SAH BVH
+        sc_sah, dbvh_sah, _ = accel.build_scene_bvh(sc)
+        img_sah = integrator.render(sc_sah, dbvh_sah, cam, spp=2, cfg=cfg)
+
+        # learned-tree path: greedy planes stand in for treeNet output (same
+        # format); classify + rebuild + reorder + render
+        all_tris = np.asarray(sc.tri_p[: sc.n_tris])
+        planes = tree_eval.greedy_tree(data.tris_to_prims(all_tris), levels=4)
+        bvh_learned = tree_export.planes_to_bvh(all_tris, planes)
+        sc_l, dbvh_l, _ = accel.apply_bvh_to_scene(sc, bvh_learned)
+        img_l = integrator.render(sc_l, dbvh_l, cam, spp=2, cfg=cfg)
+
+        np.testing.assert_allclose(
+            np.asarray(img_l), np.asarray(img_sah), atol=1e-4,
+            err_msg="neural/learned BVH changed the rendered image",
+        )

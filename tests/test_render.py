@@ -117,3 +117,73 @@ class TestDeterminism:
         a = integrator.render(sc, dbvh, cam, spp=2, seed=7, cfg=cfg)
         b = integrator.render(sc, dbvh, cam, spp=2, seed=8, cfg=cfg)
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEnvMapAndTextures:
+    def test_env_map_escape_radiance(self):
+        # constant equal-area env map: escaped rays must see its radiance
+        b = scene_mod.SceneBuilder()
+        m = b.add_material("diffuse")
+        b.add_quad((100, -1, 100), (101, -1, 100), (101, -1, 101), (100, -1, 101), m)
+        env = np.ones((16, 16, 3), np.float32)
+        b.set_environment_map(env, scale=2.0)
+        sc = b.build()
+        sc, dbvh, _ = accel.build_scene_bvh(sc)
+        cam = camera_mod.make_perspective(
+            xf.look_at((0, 0, 0), (0, 0, 1), (0, 1, 0)), fov=60.0,
+            width=8, height=8,
+        )
+        cfg = integrator.IntegratorConfig(max_depth=1, mis=True)
+        img = integrator.render(sc, dbvh, cam, spp=8, cfg=cfg)
+        np.testing.assert_allclose(float(jnp.mean(img)), 2.0, atol=0.08)
+
+    def test_env_sample_pdf_consistency(self):
+        import jax
+        from nn_bvh_tpu.scatter import lights
+
+        b = scene_mod.SceneBuilder()
+        m = b.add_material("diffuse")
+        b.add_quad((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0), m)
+        rs = np.random.RandomState(0)
+        env = (rs.rand(32, 32, 3).astype(np.float32) + 0.05)
+        b.set_environment_map(env)
+        sc = b.build()
+        scd = jax.tree.map(jnp.asarray, sc)
+        u2 = jax.random.uniform(jax.random.PRNGKey(1), (8192, 2))
+        dirs, pdf = lights.env_sample_dir(scd, u2)
+        # unit directions, E[1/pdf] = sphere measure 4pi
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(dirs), axis=-1), 1.0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(jnp.mean(1.0 / pdf)), 4 * np.pi, rtol=0.05
+        )
+        # pdf at sampled dir matches the lookup pdf
+        pdf2 = lights.env_pdf_dir(scd, dirs)
+        frac = float(jnp.mean(jnp.isclose(pdf, pdf2, rtol=1e-3)))
+        assert frac > 0.95  # boundary texels may round to neighbors
+
+    def test_checker_texture_renders_two_tones(self):
+        b = scene_mod.SceneBuilder()
+        tex = b.add_texture_checker((0.05, 0.05, 0.05), (0.9, 0.9, 0.9), uscale=4)
+        m = b.add_material("diffuse", texture=tex)
+        # quad with explicit uvs
+        verts = np.array([[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]], np.float32)
+        faces = np.array([[0, 1, 2], [0, 2, 3]])
+        uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        b.add_mesh(verts, faces, m, uvs=uvs)
+        b.add_point_light((0, 3, 0), (1, 1, 1), scale=10.0)
+        sc = b.build()
+        sc, dbvh, _ = accel.build_scene_bvh(sc)
+        cam = camera_mod.make_perspective(
+            xf.look_at((0, 3.5, -0.01), (0, 0, 0), (0, 1, 0)), fov=60.0,
+            width=16, height=16,
+        )
+        cfg = integrator.IntegratorConfig(max_depth=1, mis=True)
+        img = np.asarray(integrator.render(sc, dbvh, cam, spp=4, cfg=cfg))
+        lum = img.mean(-1).reshape(-1)
+        lit = lum[lum > 1e-5]
+        assert len(lit) > 50
+        bright = lit > np.median(lit)
+        # two tone populations with a big ratio
+        assert lit[bright].mean() > 4 * max(lit[~bright].mean(), 1e-6)
