@@ -57,6 +57,10 @@ def apply_bvh_to_scene(scene, bvh: BVH):
         tri_mat=perm(scene.tri_mat),
         tri_light=perm(scene.tri_light),
         light_params=light_params,
+        tri_med_inside=(perm(scene.tri_med_inside)
+                        if scene.tri_med_inside is not None else None),
+        tri_med_outside=(perm(scene.tri_med_outside)
+                         if scene.tri_med_outside is not None else None),
     )
     from ..geometry import scene as _scene_mod
 

@@ -57,6 +57,30 @@ _WB = white_balance_matrix(spectrum.illuminant_whitepoint_xyz(), SRGB_WHITE_XYZ)
 SENSOR_XYZ_TO_SRGB = (XYZ_TO_SRGB @ _WB).astype(np.float32)
 
 
+def _rgb_space(rx, ry, gx, gy, bx, by, wx, wy):
+    """RGB->XYZ matrix from chromaticity primaries + whitepoint
+    (RGBColorSpace ctor, util/colorspace.cpp)."""
+    def xyz(x, y):
+        return np.array([x / y, 1.0, (1 - x - y) / y], np.float32)
+
+    m = np.stack([xyz(rx, ry), xyz(gx, gy), xyz(bx, by)], axis=1)
+    w = xyz(wx, wy)
+    s = np.linalg.solve(m, w)
+    return (m * s[None, :]).astype(np.float32)
+
+
+# The reference's four color spaces (util/colorspace.cpp: sRGB, DCI-P3,
+# Rec2020, ACES2065-1) as RGB->XYZ matrices; published chromaticities.
+RGB_TO_XYZ = {
+    "srgb": _rgb_space(0.64, 0.33, 0.30, 0.60, 0.15, 0.06, 0.3127, 0.3290),
+    "dci-p3": _rgb_space(0.680, 0.320, 0.265, 0.690, 0.150, 0.060, 0.3127, 0.3290),
+    "rec2020": _rgb_space(0.708, 0.292, 0.170, 0.797, 0.131, 0.046, 0.3127, 0.3290),
+    "aces2065-1": _rgb_space(0.7347, 0.2653, 0.0000, 1.0000, 0.0001, -0.0770,
+                             0.32168, 0.33767),
+}
+XYZ_TO_RGB = {k: np.linalg.inv(v).astype(np.float32) for k, v in RGB_TO_XYZ.items()}
+
+
 def xyz_to_linear_srgb(xyz: Array, white_balance: bool = True) -> Array:
     m = jnp.asarray(SENSOR_XYZ_TO_SRGB if white_balance else XYZ_TO_SRGB)
     return jnp.einsum("ij,...j->...i", m, xyz)

@@ -97,6 +97,68 @@ def owen_shuffle_index(index: Array, n_pow2_log: int, seed: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# ZSobol sample-index scrambling (reference samplers.h ZSobolSampler,
+# Ahmed & Wonka 2020 blue-noise morton ordering)
+# ---------------------------------------------------------------------------
+
+def encode_morton2(x: Array, y: Array) -> Array:
+    """Interleave the low 16 bits of x and y (util/math.h EncodeMorton2)."""
+    def part(v):
+        v = jnp.asarray(v, jnp.uint32) & jnp.uint32(0xFFFF)
+        v = (v ^ (v << 8)) & jnp.uint32(0x00FF00FF)
+        v = (v ^ (v << 4)) & jnp.uint32(0x0F0F0F0F)
+        v = (v ^ (v << 2)) & jnp.uint32(0x33333333)
+        v = (v ^ (v << 1)) & jnp.uint32(0x55555555)
+        return v
+
+    return (part(y) << 1) | part(x)
+
+
+# the 24 permutations of 4 elements, packed 2 bits per slot (perm[i] in slot i)
+def _pack_perms4() -> np.ndarray:
+    from itertools import permutations
+
+    out = []
+    for p in permutations(range(4)):
+        v = 0
+        for i, pi in enumerate(p):
+            v |= pi << (2 * i)
+        out.append(v)
+    return np.asarray(out, np.uint32)
+
+
+_PERMS4 = jnp.asarray(_pack_perms4())
+
+
+def zsobol_shuffled_index(pixel_x: Array, pixel_y: Array, sample: Array,
+                          log2_spp: int, dim: Array, seed) -> Array:
+    """ZSobolSampler::GetSampleIndex: morton-interleave the pixel coords,
+    append the sample bits, then permute the base-4 digits top-down with a
+    per-(prefix, dim) hashed permutation — nearby pixels get decorrelated but
+    blue-noise-distributed Sobol' index sequences.
+
+    TPU note: pbrt uses a 64-bit morton index; we keep everything in uint32
+    (pixel coords up to 2^13, spp up to 64 stay exact), which covers the
+    practical render sizes of the reference scenes."""
+    log2_spp = int(log2_spp)
+    n_base4 = (2 * 13 + log2_spp + 1) // 2
+    morton = (encode_morton2(pixel_x, pixel_y) << log2_spp) | jnp.asarray(
+        sample, jnp.uint32)
+    dim = jnp.asarray(dim, jnp.uint32)
+    seed = jnp.asarray(seed, jnp.uint32)
+    out = jnp.zeros_like(morton)
+    for i in range(n_base4):
+        shift = 2 * (n_base4 - 1 - i)
+        digit = (morton >> shift) & jnp.uint32(3)
+        prefix = morton >> (shift + 2)
+        p = rng.hash_combine(prefix, dim, seed) % jnp.uint32(24)
+        perm = _PERMS4[p]
+        newd = (perm >> (2 * digit)) & jnp.uint32(3)
+        out = (out << 2) | newd
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Halton radical inverse (first primes, no permutation tables: hash-perm digits)
 # ---------------------------------------------------------------------------
 

@@ -16,7 +16,8 @@ GenerateRaySamples stage (`wavefront/samples.cpp:19`).
 Implemented: INDEPENDENT (hash-based, = IndependentSampler),
 STRATIFIED (jittered in sample-count grid), SOBOL (Owen-scrambled padded Sobol',
 = PaddedSobolSampler with FastOwen randomization), HALTON (scrambled radical
-inverse padding).
+inverse padding), ZSOBOL (= ZSobolSampler, samplers.h: blue-noise Ahmed-Wonka
+morton-order base-4 index shuffling over Owen-scrambled Sobol').
 """
 
 from __future__ import annotations
@@ -34,24 +35,36 @@ INDEPENDENT = 0
 STRATIFIED = 1
 SOBOL = 2
 HALTON = 3
+ZSOBOL = 4
 
 
 class SamplerConfig(NamedTuple):
     kind: int  # static python int — selects code path at trace time
     seed: int
     spp: int  # samples per pixel (for stratified / sobol log2 rounding)
+    width: int = 0  # image width (ZSobol needs 2D pixel coords from the flat index)
 
 
-def make_sampler(kind: str = "sobol", seed: int = 0, spp: int = 16) -> SamplerConfig:
+def make_sampler(kind: str = "sobol", seed: int = 0, spp: int = 16,
+                 width: int = 0) -> SamplerConfig:
     kinds = {
         "independent": INDEPENDENT,
         "stratified": STRATIFIED,
         "sobol": SOBOL,
         "paddedsobol": SOBOL,
-        "zsobol": SOBOL,
+        "zsobol": ZSOBOL,
+        "pmj02bn": ZSOBOL,  # blue-noise point sets; ZSobol is our bn sampler
         "halton": HALTON,
     }
-    return SamplerConfig(kinds[kind], seed, spp)
+    return SamplerConfig(kinds[kind], seed, spp, width)
+
+
+def _pixel_xy(cfg: SamplerConfig, pixel: Array):
+    if cfg.width > 0:
+        w = jnp.uint32(cfg.width)
+        p = jnp.asarray(pixel, jnp.uint32)
+        return p % w, p // w
+    return jnp.asarray(pixel, jnp.uint32), jnp.zeros_like(pixel, jnp.uint32)
 
 
 def _log2_ceil(n: int) -> int:
@@ -77,6 +90,14 @@ def get_1d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> Array:
         log_n = _log2_ceil(cfg.spp)
         idx = ld.owen_shuffle_index(sample, log_n, pad_seed)
         return ld.radical_inverse(0, idx + (pad_seed >> 16))
+    if cfg.kind == ZSOBOL:
+        px, py = _pixel_xy(cfg, pixel)
+        idx = ld.zsobol_shuffled_index(px, py, sample, _log2_ceil(cfg.spp),
+                                       dim, jnp.uint32(cfg.seed))
+        x, _ = ld.owen_scrambled_sobol_2d(
+            idx, rng.hash_combine(dim, jnp.uint32(cfg.seed)),
+            rng.hash_combine(dim, jnp.uint32(cfg.seed ^ 0x9E377)))
+        return x
     raise ValueError(f"unknown sampler kind {cfg.kind}")
 
 
@@ -114,4 +135,11 @@ def get_2d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> tuple[Array,
         idx = ld.owen_shuffle_index(sample, log_n, pad_seed)
         off = pad_seed >> 16
         return ld.radical_inverse(0, idx + off), ld.radical_inverse(1, idx + off)
+    if cfg.kind == ZSOBOL:
+        px, py = _pixel_xy(cfg, pixel)
+        idx = ld.zsobol_shuffled_index(px, py, sample, _log2_ceil(cfg.spp),
+                                       dim, jnp.uint32(cfg.seed))
+        return ld.owen_scrambled_sobol_2d(
+            idx, rng.hash_combine(dim, jnp.uint32(cfg.seed)),
+            rng.hash_combine(dim, jnp.uint32(cfg.seed ^ 0x9E377)))
     raise ValueError(f"unknown sampler kind {cfg.kind}")

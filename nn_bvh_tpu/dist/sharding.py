@@ -72,12 +72,13 @@ def render_sharded(
     )
     def wave(scene_and_bvh, pixel_idx_local, sample_idx):
         sc, bvh, lst = scene_and_bvh
-        L, lam, lam_pdf = integrator.trace_wave(
+        L, lam, lam_pdf, fw = integrator.trace_wave(
             sc, bvh, cam, sampler_cfg, cfg, pixel_idx_local, sample_idx, lst
         )
         # per-device partial film -> psum (the film reduction over ICI)
         f = film_mod.make_film(cam.height, cam.width)
-        f = film_mod.add_samples(f, pixel_idx_local, L, lam, lam_pdf)
+        f = film_mod.add_samples(f, pixel_idx_local, L, lam, lam_pdf,
+                                 filter_weight=fw)
         return (
             jax.lax.psum(f.xyz, RAY_AXIS),
             jax.lax.psum(f.weight, RAY_AXIS),

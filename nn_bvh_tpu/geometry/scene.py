@@ -49,6 +49,12 @@ TEX_IMAGE = 0
 TEX_CHECKER = 1
 TEX_UV_SCALE = 2  # reserved
 
+# media (base/medium.h:76 tag list; Cloud/NanoVDB are host-converted to grids)
+MED_NONE = -1
+MED_HOMOGENEOUS = 0
+MED_GRID = 1
+MED_GRID_RES = 64  # density grids resampled to a fixed-size stack (like TEX_RES)
+
 TEX_RES = 256  # all image textures resampled to a fixed-size array stack
 
 
@@ -98,12 +104,34 @@ class CompiledScene(NamedTuple):
     env_marg_func: Array = None  # (He,)
     env_luminance: Array = None  # (He, We) sampling function
 
-    # fused per-triangle shading record (N, 26), built after BVH reorder:
-    # [v0 v1 v2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_id | light_id].
+    # fused per-triangle shading record (N, 28), built after BVH reorder:
+    # [v0 v1 v2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_id | light_id |
+    #  med_inside | med_outside].
     # One gather serves the whole shading stage — TPU gathers are
     # latency-bound (~3.5 ms / 65k lanes) and width-insensitive, so fusing
     # 5 table gathers into 1 is a ~4x win on the hit-shading stage.
     tri_shade: Array = None
+
+    # participating media (tagged SoA table; base/medium.h Homogeneous/Grid —
+    # RGBGrid/Cloud/NanoVDB become density grids at scene-build time).
+    # med_rec fused at trace time by scatter.media.medium_records:
+    med_type: Array = None        # (K,) i32
+    med_sa_coeffs: Array = None   # (K,3) sigma_a sigmoid-poly chroma
+    med_ss_coeffs: Array = None   # (K,3) sigma_s
+    med_le_coeffs: Array = None   # (K,3) emission chroma
+    med_scales: Array = None      # (K,4) [sigma_a_scale, sigma_s_scale, le_scale, g]
+    med_grid_id: Array = None     # (K,) i32 index into med_grids (-1 = none)
+    med_max_density: Array = None  # (K,) majorant density (1 for homogeneous)
+    med_bounds: Array = None      # (K,2,3) world AABB of the density grid
+    med_grids: Array = None       # (G, D, H, W) density stack
+    n_media: int = 0
+    # medium the camera sits in (pbrt: camera "medium" directive) — static
+    camera_medium: int = -1
+    # per-triangle medium interface (MediumInterface, primitive.h): the medium
+    # on the side the geometric normal points away from (inside) / toward
+    # (outside). Folded into tri_shade cols 26/27 for the fused gather.
+    tri_med_inside: Array = None   # (N,) i32
+    tri_med_outside: Array = None  # (N,) i32
 
     def replace(self, **kw):
         return self._replace(**kw)
@@ -114,19 +142,24 @@ def make_tri_shade(scene: "CompiledScene") -> np.ndarray:
     tn = np.asarray(scene.tri_n, np.float32)
     tu = np.asarray(scene.tri_uv, np.float32)
     n = len(tp)
-    out = np.zeros((n, 26), np.float32)
+    out = np.zeros((n, 28), np.float32)
     out[:, 0:9] = tp.reshape(n, 9)
     out[:, 9:18] = tn.reshape(n, 9)
     out[:, 18:24] = tu.reshape(n, 6)
     out[:, 24] = np.asarray(scene.tri_mat, np.float32)
     out[:, 25] = np.asarray(scene.tri_light, np.float32)
+    if scene.tri_med_inside is not None:
+        out[:, 26] = np.asarray(scene.tri_med_inside, np.float32)
+        out[:, 27] = np.asarray(scene.tri_med_outside, np.float32)
+    else:
+        out[:, 26:28] = -1.0
     return out
 
 
 # static counts must not trace under jit/shard_map
 from ..utils.pytree import register_static as _register_static  # noqa: E402
 
-_register_static(CompiledScene, ("n_tris", "n_lights"))
+_register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium"))
 
 
 @dataclass
@@ -143,9 +176,12 @@ class SceneBuilder:
     _tri_uv: list = field(default_factory=list)
     _tri_mat: list = field(default_factory=list)
     _tri_emit: list = field(default_factory=list)  # (rgb, scale, twosided) or None per mesh
+    _tri_med: list = field(default_factory=list)    # (med_inside, med_outside) per mesh
     _materials: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
     _textures: list = field(default_factory=list)   # (TEX_RES,TEX_RES,3) rgb
+    _media: list = field(default_factory=list)
+    _camera_medium: int = -1
     _env_image: "np.ndarray | None" = None          # (He,We,3) equal-area rgb
     _env_scale: float = 1.0
 
@@ -212,6 +248,57 @@ class SceneBuilder:
         )
         return len(self._materials) - 1
 
+    # ---- media -----------------------------------------------------------
+
+    def add_medium(
+        self,
+        kind: str = "homogeneous",
+        sigma_a=(1.0, 1.0, 1.0),
+        sigma_s=(0.0, 0.0, 0.0),
+        scale: float = 1.0,
+        g: float = 0.0,
+        Le=(0.0, 0.0, 0.0),
+        Le_scale: float = 0.0,
+        density: Optional[np.ndarray] = None,
+        bounds: Optional[np.ndarray] = None,
+    ) -> int:
+        """Register a participating medium (HomogeneousMedium / GridMedium,
+        media.h). `density` is a (D,H,W) grid resampled to MED_GRID_RES^3;
+        `bounds` its world AABB ((2,3)); sigma_* are RGB extinction chromas
+        scaled by `scale` (RGBUnboundedSpectrum semantics). Emission Le is
+        multiplied by sigma_a at sample points (GridMedium Le/LeScale)."""
+        kinds = {"homogeneous": MED_HOMOGENEOUS, "grid": MED_GRID,
+                 "rgbgrid": MED_GRID, "cloud": MED_GRID, "nanovdb": MED_GRID}
+        mtype = kinds[kind]
+        if mtype == MED_GRID:
+            if density is None or bounds is None:
+                raise ValueError("grid medium needs density + bounds")
+            d = np.asarray(density, np.float32)
+            # resample to the fixed stack resolution (nearest; grids are
+            # smooth — trilinear sampling happens at render time)
+            r = MED_GRID_RES
+            zi = (np.arange(r) * (d.shape[0] / r)).astype(np.int64)
+            yi = (np.arange(r) * (d.shape[1] / r)).astype(np.int64)
+            xi = (np.arange(r) * (d.shape[2] / r)).astype(np.int64)
+            grid = d[zi][:, yi][:, :, xi]
+            max_density = float(d.max())
+            bounds = np.asarray(bounds, np.float32).reshape(2, 3)
+        else:
+            grid = None
+            max_density = 1.0
+            bounds = np.zeros((2, 3), np.float32)
+        self._media.append(
+            dict(type=mtype, sigma_a=np.asarray(sigma_a, np.float32),
+                 sigma_s=np.asarray(sigma_s, np.float32), scale=float(scale),
+                 g=float(g), Le=np.asarray(Le, np.float32),
+                 Le_scale=float(Le_scale), grid=grid,
+                 max_density=max_density, bounds=bounds)
+        )
+        return len(self._media) - 1
+
+    def set_camera_medium(self, medium: int) -> None:
+        self._camera_medium = int(medium)
+
     # ---- lights ----------------------------------------------------------
 
     def add_point_light(self, position, intensity_rgb=(1, 1, 1), scale: float = 1.0) -> int:
@@ -252,10 +339,15 @@ class SceneBuilder:
         emission_rgb=None,
         emission_scale: float = 1.0,
         two_sided: bool = False,
+        med_inside: int = -1,
+        med_outside: int = -1,
     ) -> None:
         """Add an indexed triangle mesh. If emission_rgb is set, every triangle
         becomes a DiffuseAreaLight (the reference also creates one area light
-        per shape, lights.h DiffuseAreaLight)."""
+        per shape, lights.h DiffuseAreaLight). med_inside/med_outside attach a
+        MediumInterface (primitive.h): the medium on the side the geometric
+        normal points away from / toward; use material=-1 (MAT_INTERFACE) for
+        a pure medium boundary."""
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
         if transform is not None:
@@ -277,6 +369,7 @@ class SceneBuilder:
         self._tri_n.append(n.astype(np.float32))
         self._tri_uv.append(uv)
         self._tri_mat.append(np.full(len(faces), material, np.int32))
+        self._tri_med.append((int(med_inside), int(med_outside)))
         if emission_rgb is not None:
             self._tri_emit.append(
                 (np.asarray(emission_rgb, np.float32), float(emission_scale), two_sided)
@@ -325,6 +418,16 @@ class SceneBuilder:
         tri_mat = np.concatenate(self._tri_mat)
         n = len(tri_p)
 
+        # expand per-mesh medium interfaces into per-triangle columns
+        tri_med_in = np.concatenate(
+            [np.full(len(c), mi, np.int32)
+             for c, (mi, _) in zip(self._tri_p, self._tri_med)]
+        )
+        tri_med_out = np.concatenate(
+            [np.full(len(c), mo, np.int32)
+             for c, (_, mo) in zip(self._tri_p, self._tri_med)]
+        )
+
         # expand per-mesh emission into per-triangle area lights
         tri_light = np.full(n, -1, np.int32)
         lights = list(self._lights)
@@ -353,6 +456,8 @@ class SceneBuilder:
             tri_uv = np.concatenate([tri_uv, np.zeros((pad, 3, 2), np.float32)])
             tri_mat = np.concatenate([tri_mat, np.full(pad, -1, np.int32)])
             tri_light = np.concatenate([tri_light, np.full(pad, -1, np.int32)])
+            tri_med_in = np.concatenate([tri_med_in, np.full(pad, -1, np.int32)])
+            tri_med_out = np.concatenate([tri_med_out, np.full(pad, -1, np.int32)])
 
         # materials
         if not self._materials:
@@ -417,6 +522,50 @@ class SceneBuilder:
                 env_luminance=np.zeros((1, 1), np.float32),
             )
 
+        # media -> fused-gather-ready SoA columns
+        if self._media:
+            med_type = np.array([m["type"] for m in self._media], np.int32)
+            sa_c, sa_s = rgb2spec.rgb_to_coeffs_host(
+                np.stack([m["sigma_a"] for m in self._media]))
+            ss_c, ss_s = rgb2spec.rgb_to_coeffs_host(
+                np.stack([m["sigma_s"] for m in self._media]))
+            le_c, le_s = rgb2spec.rgb_to_coeffs_host(
+                np.stack([m["Le"] for m in self._media]))
+            user = np.array([m["scale"] for m in self._media], np.float32)
+            med_scales = np.stack(
+                [sa_s * user, ss_s * user,
+                 le_s * np.array([m["Le_scale"] for m in self._media], np.float32),
+                 np.array([m["g"] for m in self._media], np.float32)], -1)
+            grids, med_grid_id = [], np.full(len(self._media), -1, np.int32)
+            for i, m in enumerate(self._media):
+                if m["grid"] is not None:
+                    med_grid_id[i] = len(grids)
+                    grids.append(m["grid"])
+            med = dict(
+                med_type=med_type, med_sa_coeffs=sa_c, med_ss_coeffs=ss_c,
+                med_le_coeffs=le_c, med_scales=med_scales.astype(np.float32),
+                med_grid_id=med_grid_id,
+                med_max_density=np.array(
+                    [m["max_density"] for m in self._media], np.float32),
+                med_bounds=np.stack([m["bounds"] for m in self._media]),
+                med_grids=(np.stack(grids) if grids
+                           else np.zeros((1, 1, 1, 1), np.float32)),
+                n_media=len(self._media), camera_medium=self._camera_medium,
+            )
+        else:
+            med = dict(
+                med_type=np.zeros(0, np.int32),
+                med_sa_coeffs=np.zeros((0, 3), np.float32),
+                med_ss_coeffs=np.zeros((0, 3), np.float32),
+                med_le_coeffs=np.zeros((0, 3), np.float32),
+                med_scales=np.zeros((0, 4), np.float32),
+                med_grid_id=np.zeros(0, np.int32),
+                med_max_density=np.zeros(0, np.float32),
+                med_bounds=np.zeros((0, 2, 3), np.float32),
+                med_grids=np.zeros((1, 1, 1, 1), np.float32),
+                n_media=0, camera_medium=-1,
+            )
+
         lo = tri_p[:n].reshape(-1, 3).min(0)
         hi = tri_p[:n].reshape(-1, 3).max(0)
 
@@ -443,6 +592,9 @@ class SceneBuilder:
             n_lights=int(len(lights)),
             bounds=np.stack([lo, hi]),
             tex_coeffs=tex_coeffs,
+            tri_med_inside=tri_med_in,
+            tri_med_outside=tri_med_out,
+            **med,
             **env,
         )
 

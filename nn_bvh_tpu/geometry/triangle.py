@@ -65,12 +65,26 @@ def intersect(o: Array, d: Array, t_max: Array, p0: Array, p1: Array, p2: Array)
     p1t = shear_xy(p1t)
     p2t = shear_xy(p2t)
 
-    # 2D edge functions
-    e0 = p1t[..., 0] * p2t[..., 1] - p1t[..., 1] * p2t[..., 0]
-    e1 = p2t[..., 0] * p0t[..., 1] - p2t[..., 1] * p0t[..., 0]
-    e2 = p0t[..., 0] * p1t[..., 1] - p0t[..., 1] * p1t[..., 0]
+    # 2D edge functions. The reference recomputes exactly-zero edge functions
+    # in double precision (shapes.h IntersectTriangle "fall back to double
+    # precision"); in XLA the a*b - c*d form is FMA-contracted, which breaks
+    # the exact antisymmetry between the two triangles sharing an edge — an
+    # exact edge hit then gets opposite *tiny* signs on both and leaks through
+    # the seam. A few-ulp relative tolerance restores watertightness (both
+    # triangles accept; closest-hit picks one).
+    def edge(a, b):
+        e = a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+        tol = 4e-7 * (jnp.abs(a[..., 0] * b[..., 1]) + jnp.abs(a[..., 1] * b[..., 0]))
+        return e, tol
 
-    same_side = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+    e0, tol0 = edge(p1t, p2t)
+    e1, tol1 = edge(p2t, p0t)
+    e2, tol2 = edge(p0t, p1t)
+
+    same_side = (
+        ((e0 >= -tol0) & (e1 >= -tol1) & (e2 >= -tol2))
+        | ((e0 <= tol0) & (e1 <= tol1) & (e2 <= tol2))
+    )
     det = e0 + e1 + e2
     nonzero = det != 0
 

@@ -76,13 +76,113 @@ def add_splats(film: Film, pixel_idx: Array, L: Array, lam: Array, lam_pdf: Arra
     return film._replace(splat_xyz=film.splat_xyz.at[pixel_idx].add(xyz))
 
 
-def develop(film: Film, splat_scale: float = 1.0) -> Array:
-    """-> (H, W, 3) linear sRGB (white-balanced sensor response,
+class PixelSensor(NamedTuple):
+    """Camera sensor response (PixelSensor, film.h:36): an XYZ->output-RGB
+    matrix folding in white balance (chromatic adaptation from the
+    white-balance illuminant to the output space's white) and an imaging
+    ratio (exposure * ISO/100)."""
+
+    xyz_to_rgb: "object"   # (3,3) np
+    imaging_ratio: float
+
+
+def make_sensor(white_balance_temp: float | None = None, iso: float = 100.0,
+                exposure: float = 1.0, output_space: str = "srgb") -> PixelSensor:
+    """white_balance_temp: blackbody CCT the scene illuminant should map to
+    neutral (pbrt 'whitebalance' film parameter); None = adapt the renderer's
+    standard illuminant (the default sensor contract)."""
+    import numpy as np
+
+    if white_balance_temp is None:
+        src = spectrum.illuminant_whitepoint_xyz()
+    else:
+        lam = np.linspace(spectrum.LAMBDA_MIN, spectrum.LAMBDA_MAX, 471)
+        import jax.numpy as _jnp
+        bb = np.asarray(spectrum.blackbody_normalized(_jnp.asarray(lam),
+                                                      float(white_balance_temp)))
+        x = np.asarray(spectrum.cie_x(_jnp.asarray(lam)))
+        y = np.asarray(spectrum.cie_y(_jnp.asarray(lam)))
+        z = np.asarray(spectrum.cie_z(_jnp.asarray(lam)))
+        src = np.array([np.trapezoid(bb * x, lam), np.trapezoid(bb * y, lam),
+                        np.trapezoid(bb * z, lam)], np.float32)
+        src = src / max(src[1], 1e-9)
+    wb = colorspace.white_balance_matrix(src, colorspace.SRGB_WHITE_XYZ)
+    m = colorspace.XYZ_TO_RGB[output_space] @ wb
+    return PixelSensor(m.astype("float32"), float(exposure * iso / 100.0))
+
+
+def develop(film: Film, splat_scale: float = 1.0,
+            sensor: PixelSensor | None = None) -> Array:
+    """-> (H, W, 3) linear output RGB (white-balanced sensor response,
     RGBFilm::GetImage)."""
     w = jnp.maximum(film.weight, 1e-9)[:, None]
     xyz = film.xyz / w + splat_scale * film.splat_xyz
-    rgb = colorspace.xyz_to_linear_srgb(xyz)
+    if sensor is None:
+        rgb = colorspace.xyz_to_linear_srgb(xyz)
+    else:
+        rgb = jnp.einsum("ij,...j->...i", jnp.asarray(sensor.xyz_to_rgb),
+                         xyz) * sensor.imaging_ratio
     return rgb.reshape(film.height, film.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# SpectralFilm (film.h:401): per-wavelength-bucket accumulation
+# ---------------------------------------------------------------------------
+
+class SpectralFilm(NamedTuple):
+    buckets: Array   # (H*W, NB) radiance sums per wavelength bucket
+    bweight: Array   # (H*W, NB) per-bucket pdf-weight sums
+    height: int
+    width: int
+    lambda_min: float
+    lambda_max: float
+
+
+_register_static(SpectralFilm,
+                 ("height", "width", "lambda_min", "lambda_max"))
+
+
+def make_spectral_film(height: int, width: int, n_buckets: int = 16,
+                       lambda_min: float = spectrum.LAMBDA_MIN,
+                       lambda_max: float = spectrum.LAMBDA_MAX) -> SpectralFilm:
+    n = height * width
+    return SpectralFilm(
+        buckets=jnp.zeros((n, n_buckets), jnp.float32),
+        bweight=jnp.zeros((n, n_buckets), jnp.float32),
+        height=height, width=width,
+        lambda_min=float(lambda_min), lambda_max=float(lambda_max),
+    )
+
+
+def add_samples_spectral(film: SpectralFilm, pixel_idx: Array, L: Array,
+                         lam: Array, lam_pdf: Array,
+                         filter_weight: Array | None = None,
+                         sequential: bool = False) -> SpectralFilm:
+    """SpectralFilm::AddSample: each of the 4 hero-wavelength samples lands in
+    its wavelength bucket with the radiance estimate L/pdf (film.cpp)."""
+    nb = film.buckets.shape[-1]
+    t = (lam - film.lambda_min) / (film.lambda_max - film.lambda_min)
+    b = jnp.clip((t * nb).astype(jnp.int32), 0, nb - 1)  # (R,4)
+    w = (jnp.ones(pixel_idx.shape, jnp.float32)
+         if filter_weight is None else filter_weight)
+    est = jnp.where(lam_pdf > 0, L / jnp.maximum(lam_pdf, 1e-20), 0.0)
+    est = jnp.where(jnp.isfinite(est), est, 0.0) * w[..., None]
+    # scatter the 4 samples into the per-pixel buckets
+    onehot = jax.nn.one_hot(b, nb, dtype=jnp.float32)          # (R,4,NB)
+    vals = jnp.einsum("rs,rsb->rb", est, onehot)
+    wsum = jnp.einsum("rs,rsb->rb", jnp.broadcast_to(w[..., None], est.shape),
+                      onehot)
+    if sequential:
+        return film._replace(buckets=film.buckets + vals,
+                             bweight=film.bweight + wsum)
+    return film._replace(buckets=film.buckets.at[pixel_idx].add(vals),
+                         bweight=film.bweight.at[pixel_idx].add(wsum))
+
+
+def develop_spectral(film: SpectralFilm) -> Array:
+    """-> (H, W, NB) mean spectral radiance per bucket."""
+    out = film.buckets / jnp.maximum(film.bweight, 1e-9)
+    return out.reshape(film.height, film.width, -1)
 
 
 def merge(films: list[Film]) -> Film:

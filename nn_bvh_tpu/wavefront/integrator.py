@@ -49,11 +49,26 @@ class IntegratorConfig(NamedTuple):
     sample_lights: bool = True
     sample_bsdf: bool = True
     light_sampler: str = "power"  # uniform | power | bvh (lightsamplers.h analog)
-    kind: str = "path"            # path | simplepath (via mis) | randomwalk | ao
+    kind: str = "path"            # path | simplepath (via mis) | randomwalk |
+    #   ao | volpath (wavefront/volpath.py)
     ao_max_dist: float = 1e30     # AOIntegrator maxDistance (cpu/integrators.h:296)
+    max_null_steps: int = 64      # cap on null-scattering events per segment
+    max_shadow_segments: int = 4  # shadow-ray re-spawns across boundaries
+    filt: object = None           # filters.FilterConfig; None = box(0.5) jitter
     use_pallas: bool | None = None  # None = auto: Pallas packet kernel on TPU
     #   (the XLA while-loop traversal measures ~0.001 Mrays/s on TPU vs ~80
     #   Mrays/s for the packet kernel; XLA path remains the CPU/test anchor)
+
+
+def _filter_jitter(cfg: IntegratorConfig, u2: Array):
+    """Filter importance sampling of the in-pixel position (FilterSampler,
+    filters.h): returns (pixel-corner offset in [~0,~1]+spill, film weight)."""
+    if cfg.filt is None:
+        return u2, jnp.ones(u2.shape[:-1], jnp.float32)
+    from . import filters
+
+    off, w = filters.sample(cfg.filt, u2)
+    return 0.5 + off, w
 
 
 class ShadingPoint(NamedTuple):
@@ -109,7 +124,7 @@ def trace_wave(
     ls_tables: lightsamplers.LightSamplerTables | None = None,
     packed: "pallas_traverse.PackedScene | None" = None,
 ):
-    """Trace one path per entry of pixel_idx. Returns (L, lam, lam_pdf)."""
+    """Trace one path per entry of pixel_idx -> (L, lam, lam_pdf, film_w)."""
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
     # host-numpy scenes become jnp constants (numpy can't index by tracers)
@@ -144,9 +159,10 @@ def trace_wave(
 
     # --- camera rays (kernel 1) ------------------------------------------
     upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
+    u_pix, film_w = _filter_jitter(cfg, jnp.stack([upx, upy], -1))
     ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
     o, d = camera_mod.generate_rays(
-        cam, pixel_idx, jnp.stack([upx, upy], -1), jnp.stack([ulx, uly], -1)
+        cam, pixel_idx, u_pix, jnp.stack([ulx, uly], -1)
     )
 
     # --- wavelengths ------------------------------------------------------
@@ -154,13 +170,17 @@ def trace_wave(
     lam, lam_pdf = spectrum.sample_wavelengths_visible(ul)
 
     S = spectrum.N_SPECTRUM_SAMPLES
-    L = jnp.zeros((R, S), jnp.float32)
-    beta = jnp.ones((R, S), jnp.float32)
-    active = jnp.ones((R,), bool)
-    specular_prev = jnp.ones((R,), bool)  # camera "bounce" counts as specular
-    prev_pdf = jnp.ones((R,), jnp.float32)
+    # derive every scan-carry init from a device-varying zero so shard_map's
+    # vma rules see consistent carry types (constant-in / varying-out carries
+    # are rejected; see accel.traverse._traverse_one for the same trick)
+    zv = upx * 0.0
+    L = jnp.zeros((R, S), jnp.float32) + zv[:, None]
+    beta = jnp.ones((R, S), jnp.float32) + zv[:, None]
+    active = zv == 0.0
+    specular_prev = zv == 0.0  # camera "bounce" counts as specular
+    prev_pdf = 1.0 + zv
     prev_p = o
-    eta_scale = jnp.ones((R,), jnp.float32)
+    eta_scale = 1.0 + zv
 
     n_lights = scene.n_lights
     mat_all = bxdf.material_records(scene)
@@ -334,7 +354,7 @@ def trace_wave(
         cfg.max_depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
     )
 
-    return L, lam, lam_pdf
+    return L, lam, lam_pdf, film_w
 
 
 def trace_ao(
@@ -366,9 +386,10 @@ def trace_ao(
     R = pixel_idx.shape[0]
     sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
     upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
+    u_pix, film_w = _filter_jitter(cfg, jnp.stack([upx, upy], -1))
     ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
     o, d = camera_mod.generate_rays(
-        cam, pixel_idx, jnp.stack([upx, upy], -1), jnp.stack([ulx, uly], -1)
+        cam, pixel_idx, u_pix, jnp.stack([ulx, uly], -1)
     )
     ul = samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_WAVELENGTH)
     lam, lam_pdf = spectrum.sample_wavelengths_visible(ul)
@@ -386,7 +407,53 @@ def trace_ao(
     # cosine-sampled estimator of (1/pi) * integral cos * V  ==> visibility
     # flat unit spectrum -> near-white RGB after the sensor; misses are 0
     L = jnp.where(vis[..., None], jnp.ones((R, spectrum.N_SPECTRUM_SAMPLES)), 0.0)
-    return L, lam, lam_pdf
+    return L, lam, lam_pdf, film_w
+
+
+def render_gbuffer(
+    scene: scene_mod.CompiledScene,
+    dbvh: accel.DeviceBVH,
+    cam: camera_mod.Camera,
+):
+    """GBufferFilm analog (film.h:319 / VisibleSurface film.h:134): first-hit
+    AOVs for denoising + ML — returns a dict of (H,W,C) arrays:
+    position(3), normal ns(3), geometric normal(3), uv(2), depth(1),
+    albedo(3), hit mask(1). Albedo is the material base color sampled at
+    approximate RGB primary wavelengths (the reference estimates rho with 16
+    fixed samples, integrators.cpp:1125; first-bounce AOVs need no MC)."""
+    scene = jax.tree.map(jnp.asarray, scene)
+    dbvh = jax.tree.map(jnp.asarray, dbvh)
+    H, W = cam.height, cam.width
+    R = H * W
+    pixel_idx = jnp.arange(R, dtype=jnp.int32)
+    u_half = jnp.full((R, 2), 0.5, jnp.float32)
+    o, d = camera_mod.generate_rays(cam, pixel_idx, u_half, u_half)
+    if jax.default_backend() != "cpu" and pallas_traverse.usable(
+            dbvh, scene.tri_p.shape[0]):
+        packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
+        hit = pallas_traverse._traverse_packed(
+            packed.node_tab, packed.tri_tab, o, d, jnp.full((R,), 1e30),
+            any_hit=False)
+    else:
+        hit = accel.intersect_closest(dbvh, scene.tri_p, o, d,
+                                      jnp.full((R,), 1e30))
+    found = hit.prim >= 0
+    sp = _shading_point(scene, hit, o, d)
+    lam_rgb = jnp.broadcast_to(
+        jnp.asarray([602.8, 539.1, 448.9, 550.0], jnp.float32), (R, 4))
+    ctx = bxdf.gather_material(scene, sp.mat, lam_rgb, None, sp.uv)
+    albedo = ctx.refl[..., :3]
+    msk = found[..., None]
+    shp = lambda a, c: jnp.where(msk, a, 0.0).reshape(H, W, c)
+    return {
+        "p": shp(sp.p, 3),
+        "ns": shp(sp.ns, 3),
+        "ng": shp(sp.ng, 3),
+        "uv": shp(sp.uv, 2),
+        "depth": shp(jnp.where(found, hit.t, 0.0)[..., None], 1),
+        "albedo": shp(albedo, 3),
+        "mask": shp(found[..., None].astype(jnp.float32), 1),
+    }
 
 
 def make_wave_fn(
@@ -418,15 +485,23 @@ def make_wave_fn(
         R = cam.width * cam.height
         pixel_idx = jnp.arange(R, dtype=jnp.int32)
         if cfg.kind == "ao":
-            L, lam, lam_pdf = trace_ao(
+            L, lam, lam_pdf, fw = trace_ao(
                 scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx, packed
             )
-        else:
-            L, lam, lam_pdf = trace_wave(
+        elif cfg.kind in ("volpath", "simplevolpath"):
+            from . import volpath as volpath_mod
+
+            L, lam, lam_pdf, fw = volpath_mod.trace_wave_vol(
                 scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx,
                 ls_tables, packed,
             )
-        return film_mod.add_samples(f, pixel_idx, L, lam, lam_pdf, sequential=True)
+        else:
+            L, lam, lam_pdf, fw = trace_wave(
+                scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx,
+                ls_tables, packed,
+            )
+        return film_mod.add_samples(f, pixel_idx, L, lam, lam_pdf,
+                                    filter_weight=fw, sequential=True)
 
     return jax.jit(wave, donate_argnums=(0,))
 
@@ -447,7 +522,8 @@ def render(
     wave_callback(sample_index, film) runs after each wave — the hook for the
     tev display stream and --write-partial-images (integrators.cpp:190-215).
     """
-    sampler_cfg = samplers.make_sampler(sampler, seed=seed, spp=spp)
+    sampler_cfg = samplers.make_sampler(sampler, seed=seed, spp=spp,
+                                        width=cam.width)
     film = film_mod.make_film(cam.height, cam.width)
     wave = make_wave_fn(scene, dbvh, cam, sampler_cfg, cfg)
     for s in range(spp):

@@ -48,7 +48,7 @@ def make_loss(sc, dbvh, cam, cfg, sampler_cfg, lst):
         s2 = sc.replace(mat_coeffs=mat_coeffs, light_scale=light_scale)
         total = jnp.zeros(())
         for s in range(2):
-            L, lam, pdf = integrator.trace_wave(
+            L, lam, pdf, _fw = integrator.trace_wave(
                 s2, dbvh, cam, sampler_cfg, cfg, pixel_idx, jnp.int32(s), lst
             )
             f = film_mod.make_film(cam.height, cam.width)
@@ -106,7 +106,7 @@ class TestPixelGradients:
 
         def render_img(mat_coeffs):
             s2 = sc.replace(mat_coeffs=mat_coeffs)
-            L, lam, pdf = integrator.trace_wave(
+            L, lam, pdf, _fw = integrator.trace_wave(
                 s2, dbvh, cam, sampler_cfg, cfg, pixel_idx, jnp.int32(0), lst
             )
             f = film_mod.make_film(cam.height, cam.width)
