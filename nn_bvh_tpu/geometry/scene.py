@@ -39,9 +39,20 @@ LIGHT_UNIFORM_INFINITE = 2
 LIGHT_AREA_TRI = 3
 LIGHT_IMAGE_INFINITE = 4
 LIGHT_SPOT = 5
+LIGHT_PROJECTION = 6
+LIGHT_GONIOMETRIC = 7
+LIGHT_PORTAL_ENV = 8
+
+# light_params layout by type (see scatter.lights.sample_li):
+#   AREA_TRI:    [0]=tri_index [1]=two_sided
+#   SPOT:        [0:3]=direction [3]=cos_total_width [4]=cos_falloff_start
+#   PROJECTION:  [0:3]=direction [3]=tan_half_x [4]=tan_half_y [5]=tex_id
+#                [6:9]=up vector
+#   GONIOMETRIC: [5]=tex_id (equal-area octahedral intensity map)
+#   PORTAL_ENV:  [0:12]=portal quad corners p0 p1 p2 p3 (world space)
 
 N_MAT_PARAMS = 6
-N_LIGHT_PARAMS = 4
+N_LIGHT_PARAMS = 12
 
 # texture kinds (base/texture.h tag list analog; evaluated per lane)
 TEX_NONE = -1
@@ -326,6 +337,71 @@ class SceneBuilder:
         )
         return len(self._lights) - 1
 
+    def add_spot_light(self, position, direction, intensity_rgb=(1, 1, 1),
+                       scale: float = 1.0, cone_angle: float = 30.0,
+                       cone_delta: float = 5.0) -> int:
+        """SpotLight (lights.h): smooth falloff between cone_angle-cone_delta
+        and cone_angle (degrees, like pbrt's coneangle/conedeltaangle)."""
+        d = np.asarray(direction, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        params = np.zeros(N_LIGHT_PARAMS, np.float32)
+        params[0:3] = d
+        params[3] = np.cos(np.deg2rad(cone_angle))
+        params[4] = np.cos(np.deg2rad(max(cone_angle - cone_delta, 0.0)))
+        self._lights.append(
+            dict(type=LIGHT_SPOT, pos=np.asarray(position, np.float32),
+                 rgb=np.asarray(intensity_rgb, np.float32), scale=scale,
+                 params=params))
+        return len(self._lights) - 1
+
+    def add_projection_light(self, position, direction, image: np.ndarray,
+                             scale: float = 1.0, fov: float = 45.0,
+                             up=(0, 1, 0)) -> int:
+        """ProjectionLight (lights.h): projects an RGB image like a slide
+        projector within a square frustum of the given fov (degrees)."""
+        d = np.asarray(direction, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        tex = self.add_texture_image(image)
+        params = np.zeros(N_LIGHT_PARAMS, np.float32)
+        params[0:3] = d
+        params[3] = params[4] = np.tan(np.deg2rad(fov) / 2)
+        params[5] = tex
+        u = np.asarray(up, np.float64)
+        u = u - d * np.dot(u, d)
+        params[6:9] = (u / max(np.linalg.norm(u), 1e-9)).astype(np.float32)
+        self._lights.append(
+            dict(type=LIGHT_PROJECTION, pos=np.asarray(position, np.float32),
+                 rgb=np.ones(3, np.float32), scale=scale, params=params))
+        return len(self._lights) - 1
+
+    def add_goniometric_light(self, position, intensity_map: np.ndarray,
+                              intensity_rgb=(1, 1, 1), scale: float = 1.0) -> int:
+        """GoniometricLight (lights.h): point light with an equal-area
+        octahedral angular intensity map."""
+        tex = self.add_texture_image(intensity_map)
+        params = np.zeros(N_LIGHT_PARAMS, np.float32)
+        params[5] = tex
+        self._lights.append(
+            dict(type=LIGHT_GONIOMETRIC, pos=np.asarray(position, np.float32),
+                 rgb=np.asarray(intensity_rgb, np.float32), scale=scale,
+                 params=params))
+        return len(self._lights) - 1
+
+    def add_portal(self, p0, p1, p2, p3) -> int:
+        """PortalImageInfiniteLight (lights.h:631): restricts env-map
+        illumination sampling to the solid angle of a planar quad portal.
+        Requires set_environment_map; converts that env light to a portal
+        light."""
+        params = np.zeros(N_LIGHT_PARAMS, np.float32)
+        params[0:12] = np.concatenate(
+            [np.asarray(x, np.float32) for x in (p0, p1, p2, p3)])
+        for l in self._lights:
+            if l["type"] == LIGHT_IMAGE_INFINITE:
+                l["type"] = LIGHT_PORTAL_ENV
+                l["params"] = params
+                return self._lights.index(l)
+        raise ValueError("add_portal requires set_environment_map first")
+
     # ---- geometry --------------------------------------------------------
 
     def add_mesh(
@@ -573,7 +649,7 @@ class SceneBuilder:
         # (to_device / the renderers) — device->host readback over the TPU
         # tunnel is catastrophically slow, so the whole scene pipeline
         # (BVH build, reorder, light-power tables) runs on numpy first.
-        return CompiledScene(
+        out = CompiledScene(
             tri_p=tri_p,
             tri_n=tri_n,
             tri_uv=tri_uv,
@@ -597,6 +673,8 @@ class SceneBuilder:
             **med,
             **env,
         )
+        # fused shading record (rebuilt after any BVH reorder)
+        return out.replace(tri_shade=make_tri_shade(out))
 
 
 def to_device(scene: CompiledScene) -> CompiledScene:

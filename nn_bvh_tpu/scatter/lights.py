@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -104,6 +105,72 @@ def sample_li(
     else:
         wi_img, pdf_img, li_img = wi_inf, pdf_inf, emit
 
+    # ---- spot (lights.h SpotLight: smoothstep falloff) --------------------
+    sdir = rec[..., 8:11]
+    cos_total = rec[..., 11]
+    cos_start = rec[..., 12]
+    cos_t_spot = vm.dot(sdir, -wi_point)
+    t_ss = jnp.clip((cos_t_spot - cos_total)
+                    / jnp.maximum(cos_start - cos_total, 1e-6), 0.0, 1.0)
+    falloff = t_ss * t_ss * (3.0 - 2.0 * t_ss)  # SmoothStep (math.h)
+    li_spot = li_point * falloff[..., None]
+
+    # ---- projection (lights.h ProjectionLight) ----------------------------
+    has_tex = scene.tex_coeffs is not None and scene.tex_coeffs.size > 4
+    if has_tex:
+        pdir = rec[..., 8:11]
+        tanx = jnp.maximum(rec[..., 11], 1e-6)
+        tany = jnp.maximum(rec[..., 12], 1e-6)
+        tex_id = rec[..., 13].astype(jnp.int32)
+        up = rec[..., 14:17]
+        xax = vm.normalize(vm.cross(up, pdir))
+        w_l = -wi_point  # direction light -> p
+        wz = vm.dot(w_l, pdir)
+        wx = vm.dot(w_l, xax)
+        wy = vm.dot(w_l, up)
+        inside = (wz > 1e-6) & (jnp.abs(wx / jnp.maximum(wz, 1e-6)) <= tanx) \
+            & (jnp.abs(wy / jnp.maximum(wz, 1e-6)) <= tany)
+        uv_p = jnp.stack(
+            [0.5 * (wx / jnp.maximum(wz, 1e-6) / tanx + 1.0),
+             0.5 * (wy / jnp.maximum(wz, 1e-6) / tany + 1.0)], -1)
+        tcount, th_, tw_, _ = scene.tex_coeffs.shape
+        xx = jnp.clip((uv_p[..., 0] * tw_).astype(jnp.int32), 0, tw_ - 1)
+        yy = jnp.clip((uv_p[..., 1] * th_).astype(jnp.int32), 0, th_ - 1)
+        texel = scene.tex_coeffs[jnp.clip(tex_id, 0, tcount - 1), yy, xx]
+        tex_spec = rgb2spec.eval_sigmoid_poly(texel[..., 0:3], lam) * texel[..., 3:4]
+        li_proj = li_point * tex_spec * inside[..., None]
+
+        # ---- goniometric (lights.h GoniometricLight) ----------------------
+        guv = vm.equal_area_sphere_to_square(-wi_point)
+        gx = jnp.clip((guv[..., 0] * tw_).astype(jnp.int32), 0, tw_ - 1)
+        gy = jnp.clip((guv[..., 1] * th_).astype(jnp.int32), 0, th_ - 1)
+        gtexel = scene.tex_coeffs[jnp.clip(tex_id, 0, tcount - 1), gy, gx]
+        gspec = rgb2spec.eval_sigmoid_poly(gtexel[..., 0:3], lam) * gtexel[..., 3:4]
+        li_gonio = li_point * gspec
+    else:
+        li_proj = li_point
+        li_gonio = li_point
+
+    # ---- portal env (lights.h PortalImageInfiniteLight) -------------------
+    # sample a point on the portal quad; radiance comes from the env map in
+    # that direction; pdf is the area-to-solid-angle measure of the quad
+    q0, q1 = rec[..., 8:11], rec[..., 11:14]
+    q2, q3 = rec[..., 14:17], rec[..., 17:20]
+    qp = vm.lerp(u2[..., 0:1],
+                 vm.lerp(u2[..., 1:2], q0, q3),
+                 vm.lerp(u2[..., 1:2], q1, q2))
+    to_q = qp - p
+    d2q = jnp.maximum(vm.length_squared(to_q), 1e-12)
+    wi_portal = to_q * jax.lax.rsqrt(d2q)[..., None]
+    pn = vm.normalize(vm.cross(q1 - q0, q3 - q0))
+    cos_q = vm.absdot(pn, wi_portal)
+    area_q = vm.length(vm.cross(q1 - q0, q3 - q0))  # parallelogram area
+    pdf_portal = d2q / jnp.maximum(cos_q * area_q, 1e-12)
+    if has_env_map(scene):
+        li_portal = env_le(scene, wi_portal, lam)
+    else:
+        li_portal = emit
+
     # ---- area triangle (verts via one tri_shade gather) ------------------
     tri_idx = rec[..., 8].astype(jnp.int32)
     tv = scene.tri_shade[jnp.maximum(tri_idx, 0), 0:9]  # 1 gather
@@ -128,21 +195,78 @@ def sample_li(
     is_inf = ltype == scene_mod.LIGHT_UNIFORM_INFINITE
     is_area = ltype == scene_mod.LIGHT_AREA_TRI
     is_img = ltype == scene_mod.LIGHT_IMAGE_INFINITE
+    is_spot = ltype == scene_mod.LIGHT_SPOT
+    is_proj = ltype == scene_mod.LIGHT_PROJECTION
+    is_gonio = ltype == scene_mod.LIGHT_GONIOMETRIC
+    is_portal = ltype == scene_mod.LIGHT_PORTAL_ENV
 
-    conds = [is_point, is_dist, is_inf, is_area, is_img]
+    conds = [is_point, is_dist, is_inf, is_area, is_img,
+             is_spot, is_proj, is_gonio, is_portal]
     wi = jnp.select([c[..., None] for c in conds],
-                    [wi_point, wi_dist, wi_inf, wi_area, wi_img], wi_point)
+                    [wi_point, wi_dist, wi_inf, wi_area, wi_img,
+                     wi_point, wi_point, wi_point, wi_portal], wi_point)
     li = jnp.select([c[..., None] for c in conds],
-                    [li_point, emit, emit, li_area, li_img],
+                    [li_point, emit, emit, li_area, li_img,
+                     li_spot, li_proj, li_gonio, li_portal],
                     jnp.zeros_like(li_point))
     inf_f = jnp.full(p.shape[:-1], jnp.inf, jnp.float32)
-    dist = jnp.select(conds, [dist_point, inf_f, inf_f, dist_a, inf_f], inf_f)
+    dist = jnp.select(conds, [dist_point, inf_f, inf_f, dist_a, inf_f,
+                              dist_point, dist_point, dist_point, inf_f], inf_f)
     one = jnp.ones(p.shape[:-1], jnp.float32)
-    pdf = jnp.select(conds, [one, one, pdf_inf, pdf_a, pdf_img], one)
-    is_delta = is_point | is_dist
+    pdf = jnp.select(conds, [one, one, pdf_inf, pdf_a, pdf_img,
+                             one, one, one, pdf_portal], one)
+    is_delta = is_point | is_dist | is_spot | is_proj | is_gonio
     valid = (light_id >= 0) & (pdf > 0) & jnp.any(li > 0, axis=-1)
     valid = valid & jnp.where(is_area, front_ok, True)
     return LightLiSample(wi=wi, dist=dist, li=li, pdf=pdf, is_delta=is_delta, valid=valid)
+
+
+def portal_pdf_dir(scene: scene_mod.CompiledScene, light_all: Array,
+                   ref_p: Array, d: Array) -> Array:
+    """Solid-angle pdf that portal sampling gives direction d from ref_p,
+    summed over portal lights (PortalImageInfiniteLight::PDF_Li analog for
+    our uniform-area portal sampling). 0 if the ray misses every portal."""
+    L = scene.n_lights
+    out = jnp.zeros(d.shape[:-1], jnp.float32)
+    lt = scene.light_type
+    for i in range(L):
+        # static python loop over lights: portal lights are rare (usually 1)
+        rec = light_all[i]
+        q0, q1 = rec[8:11], rec[11:14]
+        q2, q3 = rec[14:17], rec[17:20]
+        pn = vm.normalize(vm.cross(q1 - q0, q3 - q0))
+        denom = vm.dot(d, pn)
+        t = vm.dot(q0 - ref_p, pn) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        hitp = ref_p + t[..., None] * d
+        # inside test in the parallelogram's (e1, e3) coordinates
+        e1, e3 = q1 - q0, q3 - q0
+        rel = hitp - q0
+        a11 = vm.dot(e1, e1)
+        a13 = vm.dot(e1, e3)
+        a33 = vm.dot(e3, e3)
+        det = jnp.maximum(a11 * a33 - a13 * a13, 1e-12)
+        b1 = (vm.dot(rel, e1) * a33 - vm.dot(rel, e3) * a13) / det
+        b3 = (vm.dot(rel, e3) * a11 - vm.dot(rel, e1) * a13) / det
+        inside = (t > 0) & (b1 >= 0) & (b1 <= 1) & (b3 >= 0) & (b3 <= 1)
+        d2q = vm.length_squared(hitp - ref_p)
+        area_q = vm.length(vm.cross(e1, e3))
+        pdf_i = d2q / jnp.maximum(jnp.abs(denom) * area_q, 1e-12)
+        is_portal = lt[i] == scene_mod.LIGHT_PORTAL_ENV
+        out = out + jnp.where(is_portal & inside, pdf_i, 0.0)
+    return out
+
+
+def has_portal(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any portal light? Must be decided at trace time (it gates a
+    per-light Python loop). When the scene arrives as tracers (e.g. donated
+    through shard_map), the light types are unknowable — treat as no-portal;
+    the render()/make_wave_fn entry points see the concrete scene and bake
+    the portal MIS path in."""
+    try:
+        return bool(np.any(np.asarray(scene.light_type)
+                           == scene_mod.LIGHT_PORTAL_ENV))
+    except jax.errors.TracerArrayConversionError:
+        return False
 
 
 def area_pdf_li_from_verts(v0: Array, v1: Array, v2: Array, ref_p: Array) -> Array:
@@ -167,10 +291,9 @@ def _env_uv_texel(scene: scene_mod.CompiledScene, uv: Array):
 
 
 def env_scale_total(scene: scene_mod.CompiledScene) -> Array:
-    return jnp.sum(
-        jnp.where(scene.light_type == scene_mod.LIGHT_IMAGE_INFINITE,
-                  scene.light_scale, 0.0)
-    )
+    is_env = (scene.light_type == scene_mod.LIGHT_IMAGE_INFINITE) | (
+        scene.light_type == scene_mod.LIGHT_PORTAL_ENV)
+    return jnp.sum(jnp.where(is_env, scene.light_scale, 0.0))
 
 
 def env_le(scene: scene_mod.CompiledScene, d: Array, lam: Array) -> Array:

@@ -198,6 +198,13 @@ def trace_wave(
                 ls_tables.pmf, 0.0,
             )
         )
+        portal_sel_pmf = jnp.sum(
+            jnp.where(
+                scene.light_type == scene_mod.LIGHT_PORTAL_ENV,
+                ls_tables.pmf, 0.0,
+            )
+        )
+        use_portal = lights.has_portal(scene)
 
     def add_emission(depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p):
         """Intersect + escaped-ray + emissive-hit contributions; returns
@@ -214,6 +221,9 @@ def trace_wave(
                 pdf_l = sampling.UNIFORM_SPHERE_PDF * inf_sel_pmf
                 if lights.has_env_map(scene):
                     pdf_l = pdf_l + env_sel_pmf * lights.env_pdf_dir(scene, d)
+                if use_portal:
+                    pdf_l = pdf_l + portal_sel_pmf * lights.portal_pdf_dir(
+                        scene, light_all, prev_p, d)
                 w_mis = jnp.where(
                     specular_prev,
                     1.0,
@@ -236,7 +246,7 @@ def trace_wave(
             if cfg.mis and cfg.sample_lights:
                 pdf_l = lights.area_pdf_li_from_verts(
                     sp.v0, sp.v1, sp.v2, prev_p
-                ) * lightsamplers.pmf(ls_tables, sp.light)
+                ) * lightsamplers.pmf_ctx(ls_tables, prev_p, sp.light)
                 w_mis = jnp.where(
                     specular_prev,
                     1.0,
@@ -269,7 +279,7 @@ def trace_wave(
         if cfg.sample_lights and n_lights > 0:
             u_sel = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 3)
             ulu, ulv = samplers.get_2d(sampler_cfg, pixel_idx, sidx, base + 4)
-            light_id, sel_pmf, _ = lightsamplers.sample(ls_tables, u_sel)
+            light_id, sel_pmf, _ = lightsamplers.sample_ctx(ls_tables, sp.p, u_sel)
             ls = lights.sample_li(scene, light_all, light_id, sp.p, lam,
                                   jnp.stack([ulu, ulv], -1))
             wi_l = ls.wi

@@ -358,7 +358,7 @@ def trace_wave_vol(
         u_sel = _rand(depth, 11)
         ulu = _rand(depth, 12)
         ulv = _rand(depth, 13)
-        light_id, sel_pmf, _ = lightsamplers.sample(ls_tables, u_sel)
+        light_id, sel_pmf, _ = lightsamplers.sample_ctx(ls_tables, p_ref, u_sel)
         ls = lights.sample_li(scene, light_all, light_id, p_ref, lam,
                               jnp.stack([ulu, ulv], -1))
         wi_l = ls.wi
@@ -413,7 +413,7 @@ def trace_wave_vol(
             has_light = found & (sp.light >= 0)
             le = lights.area_light_l_rec(lrec, has_light, sp.ng, -d, lam)
             p_le = lights.area_pdf_li_from_verts(sp.v0, sp.v1, sp.v2, prev_p) \
-                * lightsamplers.pmf(ls_tables, sp.light)
+                * lightsamplers.pmf_ctx(ls_tables, prev_p, sp.light)
             denom_mis2 = _avg(r_u + r_l * p_le[..., None])
             denom2 = jnp.where(specular_prev, _avg(r_u), denom_mis2)
             L = L + jnp.where(

@@ -1,0 +1,160 @@
+"""Spot/projection/goniometric/portal lights + BVH light-sampler tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nn_bvh_tpu import accel
+from nn_bvh_tpu.geometry import scene as scene_mod, transform as xf
+from nn_bvh_tpu.scatter import lights, lightsamplers
+from nn_bvh_tpu.wavefront import camera as camera_mod, integrator
+
+
+def _li_at(sc, light_id, p, u=(0.3, 0.7)):
+    la = lights.light_records(sc)
+    lam = jnp.full((1, 4), 550.0)
+    return lights.sample_li(
+        sc, jnp.asarray(la), jnp.asarray([light_id]),
+        jnp.asarray([p], jnp.float32), lam,
+        jnp.asarray([u], jnp.float32))
+
+
+def test_spot_falloff():
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse")
+    b.add_quad((-1, -1, -5), (1, -1, -5), (1, 1, -5), (-1, 1, -5), m)
+    sid = b.add_spot_light((0, 0, 0), (0, 0, 1), scale=1.0,
+                           cone_angle=30.0, cone_delta=10.0)
+    sc = b.build()
+    on_axis = _li_at(sc, sid, (0, 0, 3))
+    assert float(jnp.mean(on_axis.li)) > 0
+    # 45 degrees off axis: outside the cone -> zero
+    off = _li_at(sc, sid, (3, 0, 3))
+    assert float(jnp.mean(off.li)) == 0.0
+    # between falloff start (20deg) and total (30deg): partial
+    import math
+    ang = math.radians(25.0)
+    mid = _li_at(sc, sid, (3 * math.tan(ang), 0, 3))
+    full = float(jnp.mean(on_axis.li))
+    part = float(jnp.mean(mid.li))
+    assert 0 < part < full
+
+
+def test_projection_light_frustum():
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = (1, 0, 0)  # left half red
+    img[:, 4:] = (0, 1, 0)
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse")
+    b.add_quad((-1, -1, -5), (1, -1, -5), (1, 1, -5), (-1, 1, -5), m)
+    pid = b.add_projection_light((0, 0, 0), (0, 0, 1), img, fov=60.0)
+    sc = b.build()
+    inside = _li_at(sc, pid, (0, 0, 3))
+    assert float(jnp.mean(inside.li)) > 0
+    outside = _li_at(sc, pid, (10, 0, 1))  # far outside the frustum
+    assert float(jnp.mean(outside.li)) == 0.0
+
+
+def test_goniometric_uniform_map_matches_point():
+    uni = np.ones((8, 8, 3), np.float32)
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse")
+    b.add_quad((-1, -1, -5), (1, -1, -5), (1, 1, -5), (-1, 1, -5), m)
+    gid = b.add_goniometric_light((0, 0, 0), uni, scale=2.0)
+    kid = b.add_point_light((0, 0, 0), scale=2.0)
+    sc = b.build()
+    a = np.asarray(_li_at(sc, gid, (1, 2, 3)).li)
+    c = np.asarray(_li_at(sc, kid, (1, 2, 3)).li)
+    assert np.allclose(a, c, rtol=0.02), (a, c)
+
+
+def test_portal_sampling_integrates_solid_angle():
+    """E[Le/pdf] over portal samples = Le * (portal solid angle) for a
+    uniform env map."""
+    env = np.full((32, 32, 3), 1.0, np.float32)
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse")
+    b.add_quad((-1, -1, -5), (1, -1, -5), (1, 1, -5), (-1, 1, -5), m)
+    b.set_environment_map(env, scale=1.0)
+    lid = b.add_portal((-1, -1, 4), (1, -1, 4), (1, 1, 4), (-1, 1, 4))
+    sc = b.build()
+    la = jnp.asarray(lights.light_records(sc))
+    n = 4096
+    rs = np.random.RandomState(0)
+    u2 = jnp.asarray(rs.rand(n, 2), jnp.float32)
+    lam = jnp.full((n, 4), 550.0)
+    p = jnp.zeros((n, 3), jnp.float32)
+    ls = lights.sample_li(sc, la, jnp.full((n,), lid, jnp.int32), p, lam, u2)
+    est = np.asarray(jnp.mean(ls.li / ls.pdf[..., None], axis=0)).mean()
+    # analytic solid angle of the 2x2 quad at distance 4 (numeric quad)
+    xs = np.linspace(-1, 1, 200)
+    X, Y = np.meshgrid(xs, xs)
+    dA = (xs[1] - xs[0]) ** 2
+    omega = np.sum(4.0 / (X**2 + Y**2 + 16.0) ** 1.5) * dA
+    le = np.asarray(lights.env_le(sc, jnp.asarray([[0.0, 0, 1]]), lam[:1]))[0].mean()
+    assert abs(est / (le * omega) - 1.0) < 0.02, (est, le * omega)
+    # pdf_dir consistency: direction through the portal has matching pdf
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    pd = np.asarray(lights.portal_pdf_dir(sc, la, jnp.zeros((1, 3)), d))[0]
+    assert abs(pd - 16.0 / 4.0) < 1e-3  # d2/(cos*A) = 16/(1*4)
+    # direction missing the portal: pdf 0
+    d2 = jnp.asarray([[0.0, 0.0, -1.0]])
+    assert np.asarray(lights.portal_pdf_dir(sc, la, jnp.zeros((1, 3)), d2))[0] == 0
+
+
+def _many_light_scene():
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse", reflectance=(0.6, 0.6, 0.6))
+    b.add_quad((-10, 0, -10), (10, 0, -10), (10, 0, 10), (-10, 0, 10), m)
+    rs = np.random.RandomState(7)
+    for i in range(20):
+        c = rs.rand(3) * np.array([16, 0, 16]) + np.array([-8, 3.0, -8])
+        s = 0.3
+        b.add_quad(c + (-s, 0, -s), c + (s, 0, -s), c + (s, 0, s), c + (-s, 0, s),
+                   m, emission_rgb=rs.rand(3) * 0.9 + 0.1,
+                   emission_scale=float(rs.rand() * 12 + 1), two_sided=False)
+    b.add_point_light((0, 5, 0), scale=3.0)
+    b.add_uniform_infinite_light((1, 1, 1), scale=0.2)
+    sc = b.build()
+    return accel.build_scene_bvh(sc)
+
+
+def test_bvh_light_sampler_pmf_consistency():
+    """Histogram of sample_ctx choices matches pmf_ctx, and pmf sums to 1."""
+    sc, dbvh, _ = _many_light_scene()
+    t = lightsamplers.build(sc, "bvh")
+    assert t.has_bvh
+    p = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 2.0]), (8192, 3))
+    rs = np.random.RandomState(3)
+    u = jnp.asarray(rs.rand(8192), jnp.float32)
+    lid, pmf_s, _ = lightsamplers.sample_ctx(t, p, u)
+    lid = np.asarray(lid)
+    assert np.all(lid >= 0)
+    L = sc.n_lights
+    # pmf_ctx sums to ~1 over all lights at a point
+    ids = jnp.arange(L, dtype=jnp.int32)
+    pp = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 2.0]), (L, 3))
+    pmfs = np.asarray(lightsamplers.pmf_ctx(t, pp, ids))
+    assert abs(pmfs.sum() - 1.0) < 1e-3, pmfs.sum()
+    # sampled frequency ~ pmf (reference lightsamplers_test.cpp:353 idiom)
+    hist = np.bincount(lid, minlength=L) / len(lid)
+    err = np.abs(hist - pmfs)
+    assert err.max() < 0.03, err.max()
+    # reported pmf at sample time matches pmf_ctx
+    pmfs_at = np.asarray(lightsamplers.pmf_ctx(
+        t, jnp.broadcast_to(jnp.asarray([1.0, 0.5, 2.0]), (8192, 3)),
+        jnp.asarray(lid)))
+    assert np.allclose(np.asarray(pmf_s), pmfs_at, rtol=1e-3, atol=1e-5)
+
+
+def test_bvh_sampler_render_matches_power():
+    sc, dbvh, _ = _many_light_scene()
+    cam = camera_mod.make_perspective(
+        xf.look_at((0, 6, -14), (0, 0, 0), (0, 1, 0)), fov=50.0,
+        width=20, height=20)
+    imgs = {}
+    for ls in ("power", "bvh"):
+        cfg = integrator.IntegratorConfig(max_depth=3, light_sampler=ls,
+                                          use_pallas=False)
+        imgs[ls] = float(np.mean(np.asarray(integrator.render(
+            sc, dbvh, cam, spp=24, sampler="independent", cfg=cfg))))
+    assert abs(imgs["bvh"] / imgs["power"] - 1.0) < 0.05, imgs
