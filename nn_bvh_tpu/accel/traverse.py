@@ -146,15 +146,19 @@ def _traverse_one(bvh: DeviceBVH, tri_p: Array, o: Array, d: Array, t_max: Array
 
 
 def intersect_closest(bvh: DeviceBVH, tri_p: Array, o: Array, d: Array, t_max: Array,
-                      max_leaf: int = 4) -> Hit:
+                      max_leaf: int = None) -> Hit:
     """Closest-hit for a ray batch. o,d: (R,3); t_max: (R,)."""
+    if max_leaf is None:
+        from .build import MAX_LEAF_PRIMS as max_leaf  # noqa: F811
     f = lambda o_, d_, t_: _traverse_one(bvh, tri_p, o_, d_, t_, False, max_leaf)
     return jax.vmap(f)(o, d, t_max)
 
 
 def intersect_any(bvh: DeviceBVH, tri_p: Array, o: Array, d: Array, t_max: Array,
-                  max_leaf: int = 4) -> Array:
+                  max_leaf: int = None) -> Array:
     """Shadow-ray occlusion test (IntersectP, aggregates.cpp:581). Returns bool (R,)."""
+    if max_leaf is None:
+        from .build import MAX_LEAF_PRIMS as max_leaf  # noqa: F811
     f = lambda o_, d_, t_: _traverse_one(bvh, tri_p, o_, d_, t_, True, max_leaf)
     return jax.vmap(f)(o, d, t_max).prim >= 0
 

@@ -79,14 +79,16 @@ def _fptr(a: np.ndarray):
 
 
 def build_sah_native(prim_lo: np.ndarray, prim_hi: np.ndarray,
-                     max_leaf: int = 4):
+                     max_leaf: int | None = None):
     """Native binned-SAH build; returns an accel.build.BVH, or None if the
     native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    from ..accel.build import BVH
+    from ..accel.build import BVH, MAX_LEAF_PRIMS
 
+    if max_leaf is None:
+        max_leaf = MAX_LEAF_PRIMS
     n = len(prim_lo)
     prim_lo = np.ascontiguousarray(prim_lo, np.float32)
     prim_hi = np.ascontiguousarray(prim_hi, np.float32)

@@ -144,6 +144,10 @@ def trace_wave(
             packed.node_tab, packed.tri_tab, *a, any_hit=False)
         _any = lambda *a: pallas_traverse._traverse_packed(
             packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
+        # coherence re-sort: packets share a traversal stack, so bounce/shadow
+        # batches are sorted by (octant, origin morton) around the kernel
+        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
+        _any = pallas_traverse.make_sorted_isect(_any, scene.bounds)
     else:
         _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
         _any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)

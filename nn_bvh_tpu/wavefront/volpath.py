@@ -84,6 +84,7 @@ def trace_wave_vol(
             packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
         _closest = lambda *a: pallas_traverse._traverse_packed(
             packed.node_tab, packed.tri_tab, *a, any_hit=False)
+        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
     else:
         _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
     sg = jax.lax.stop_gradient
