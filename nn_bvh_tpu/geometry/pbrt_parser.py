@@ -186,9 +186,9 @@ class ParseResult:
 _MATERIAL_MAP = {
     # pbrt-v4 name -> (our kind, note)
     "diffuse": ("diffuse", None),
-    "coateddiffuse": ("diffuse", "coateddiffuse approximated as diffuse"),
+    "coateddiffuse": ("coateddiffuse", None),
     "conductor": ("conductor", None),
-    "coatedconductor": ("conductor", "coatedconductor approximated as conductor"),
+    "coatedconductor": ("coatedconductor", None),
     "dielectric": ("dielectric", None),
     "thindielectric": ("thindielectric", None),
     "diffusetransmission": ("diffusetransmission", None),
@@ -245,10 +245,19 @@ def parse_file(path: str) -> ParseResult:
             k = float(np.mean(k))
         if isinstance(k, str):
             k = 3.9
-        if kind == "conductor":
+        if kind in ("conductor", "coatedconductor"):
             eta_c = eta if "eta" in params else 0.2
+            crough = pget(params, "interface.roughness", 0.0)
             return builder.add_material(kind, reflectance=refl, roughness=float(rough),
-                                        eta=float(eta_c), k=float(k), texture=tex_id)
+                                        eta=float(eta_c), k=float(k), texture=tex_id,
+                                        coat_roughness=float(crough)
+                                        if not isinstance(crough, str) else 0.0)
+        if kind == "coateddiffuse":
+            return builder.add_material(kind, reflectance=refl,
+                                        roughness=0.0, eta=float(eta),
+                                        texture=tex_id,
+                                        coat_roughness=float(rough)
+                                        if not isinstance(rough, str) else 0.0)
         return builder.add_material(kind, reflectance=refl, roughness=float(rough),
                                     eta=float(eta), k=float(k), texture=tex_id)
 

@@ -30,6 +30,9 @@ MAT_CONDUCTOR = 1
 MAT_DIELECTRIC = 2
 MAT_THIN_DIELECTRIC = 3
 MAT_DIFFUSE_TRANSMISSION = 4
+MAT_COATED_DIFFUSE = 5
+MAT_COATED_CONDUCTOR = 6
+MAT_MIX = 7
 MAT_INTERFACE = -1  # no material (pass-through)
 
 # light type tags (base/light.h:40 analog)
@@ -51,7 +54,7 @@ LIGHT_PORTAL_ENV = 8
 #   GONIOMETRIC: [5]=tex_id (equal-area octahedral intensity map)
 #   PORTAL_ENV:  [0:12]=portal quad corners p0 p1 p2 p3 (world space)
 
-N_MAT_PARAMS = 6
+N_MAT_PARAMS = 10
 N_LIGHT_PARAMS = 12
 
 # texture kinds (base/texture.h tag list analog; evaluated per lane)
@@ -89,7 +92,8 @@ class CompiledScene(NamedTuple):
     mat_type: Array     # (M,) i32
     mat_coeffs: Array   # (M, 3) sigmoid-poly coefficients of base color
     mat_scale: Array    # (M,)
-    mat_params: Array   # (M, N_MAT_PARAMS) [roughness_u, roughness_v, eta, k_or_transmit, _, _]
+    mat_params: Array   # (M, N_MAT_PARAMS) [rough_u, rough_v, eta, k,
+    #   transmittance, texture, mix_a, mix_b, mix_amount, coat_roughness]
 
     # lights (tagged SoA table)
     light_type: Array   # (L,) i32
@@ -219,6 +223,19 @@ class SceneBuilder:
         self._textures.append(img.astype(np.float32))
         return len(self._textures) - 1
 
+    def add_texture_procedural(self, kind: str, scale: float = 8.0,
+                               octaves: int = 6, omega: float = 0.5,
+                               seed: int = 0, rgb1=(0.12, 0.1, 0.08),
+                               rgb2=(0.9, 0.88, 0.82)) -> int:
+        """Procedural texture (FBm/Wrinkled/Windy/Marble/Dots, textures.h)
+        baked over uv space at scene-build time (utils.noise.bake)."""
+        from ..utils import noise
+
+        img = noise.bake(kind, res=TEX_RES, scale=scale, octaves=octaves,
+                         omega=omega, seed=seed, rgb1=rgb1, rgb2=rgb2)
+        self._textures.append(img)
+        return len(self._textures) - 1
+
     def set_environment_map(self, equal_area_rgb: np.ndarray, scale: float = 1.0) -> int:
         """ImageInfiniteLight (lights.h): equal-area octahedral radiance map."""
         self._env_image = np.asarray(equal_area_rgb, np.float32)
@@ -239,20 +256,32 @@ class SceneBuilder:
         k: float = 3.9,
         transmittance: float = 0.0,
         texture: int = -1,
+        coat_roughness: float = 0.0,
+        mix_materials: tuple = (-1, -1),
+        mix_amount: float = 0.5,
     ) -> int:
+        """Material factory (base/material.h tag list). coateddiffuse /
+        coatedconductor carry a dielectric coat (eta, coat_roughness) over the
+        base lobe; mix stochastically selects mix_materials[0] with
+        probability mix_amount per intersection (MixMaterial semantics)."""
         kinds = {
             "diffuse": MAT_DIFFUSE,
             "conductor": MAT_CONDUCTOR,
             "dielectric": MAT_DIELECTRIC,
             "thindielectric": MAT_THIN_DIELECTRIC,
             "diffusetransmission": MAT_DIFFUSE_TRANSMISSION,
+            "coateddiffuse": MAT_COATED_DIFFUSE,
+            "coatedconductor": MAT_COATED_CONDUCTOR,
+            "mix": MAT_MIX,
         }
         self._materials.append(
             dict(
                 type=kinds[kind],
                 reflectance=np.asarray(reflectance, np.float32),
                 params=np.array(
-                    [roughness, roughness, eta, k, transmittance, float(texture)],
+                    [roughness, roughness, eta, k, transmittance, float(texture),
+                     float(mix_materials[0]), float(mix_materials[1]),
+                     mix_amount, coat_roughness],
                     np.float32,
                 ),
             )

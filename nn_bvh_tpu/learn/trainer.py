@@ -89,6 +89,7 @@ def train(
     checkpoint_window: int = 15,
     log_every: int = 10,
     mesh=None,
+    callback=None,
 ):
     """Training loop (train_EPO analog). Returns (state, history)."""
     state, tx = make_train_state(cfg, jax.random.PRNGKey(seed))
@@ -108,6 +109,9 @@ def train(
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = i + 1
             history.append(m)
+            if callback is not None:
+                # callbacks.TrainLog: test-set eval + CSV + best checkpoint
+                callback.on_log(state, metrics)
         if checkpoint_dir and (i + 1) % checkpoint_window == 0:
             save_checkpoint(checkpoint_dir, state)
     if checkpoint_dir:

@@ -161,6 +161,7 @@ class MaterialCtx(NamedTuple):
     ay: Array
     eta: Array        # (...,)
     k: Array
+    coat_ax: Array = None  # (...,) coat GGX alpha (coated materials)
 
 
 def material_records(scene: scene_mod.CompiledScene) -> Array:
@@ -177,18 +178,42 @@ def material_records(scene: scene_mod.CompiledScene) -> Array:
     )
 
 
+def has_mix(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any MixMaterial? (gates the resolve re-gather)."""
+    import numpy as np
+
+    try:
+        return bool(np.any(np.asarray(scene.mat_type) == scene_mod.MAT_MIX))
+    except jax.errors.TracerArrayConversionError:
+        return False
+
+
 def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
-                    mat_all: Array | None = None, uv: Array | None = None) -> MaterialCtx:
+                    mat_all: Array | None = None, uv: Array | None = None,
+                    u_mix: Array | None = None) -> MaterialCtx:
     """Fetch + spectrally expand per-lane material params (ONE gather).
 
     When uv is given and the scene carries textures, materials with a texture
     id (mat_params[5]) read their base color from the per-texel spectral-
-    coefficient stack (the TextureEvaluator analog; nearest filtering)."""
+    coefficient stack (the TextureEvaluator analog; nearest filtering).
+
+    MixMaterial is resolved here exactly like the reference's wavefront path
+    resolves it *before* material evaluation (MixMaterial::ChooseMaterial):
+    a per-lane uniform picks sub-material A with probability `amount`."""
     from ..core import rgb2spec
 
     if mat_all is None:
         mat_all = material_records(scene)
     rec = mat_all[jnp.maximum(mat_id, 0)]
+    if has_mix(scene) and u_mix is not None:
+        is_mix = rec[..., 0].astype(jnp.int32) == scene_mod.MAT_MIX
+        sub_a = rec[..., 11].astype(jnp.int32)
+        sub_b = rec[..., 12].astype(jnp.int32)
+        amount = rec[..., 13]
+        resolved = jnp.where(is_mix,
+                             jnp.where(u_mix < amount, sub_a, sub_b), mat_id)
+        rec = jnp.where(is_mix[..., None],
+                        mat_all[jnp.maximum(resolved, 0)], rec)
     coeffs = rec[..., 1:4]
     scale = rec[..., 4:5]
     has_textures = scene.tex_coeffs is not None and scene.tex_coeffs.size > 4
@@ -210,6 +235,7 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         ay=roughness_to_alpha(rec[..., 6]),
         eta=rec[..., 7],
         k=rec[..., 8],
+        coat_ax=roughness_to_alpha(rec[..., 14]),
     )
 
 
@@ -258,16 +284,56 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
     )
     pdf_diel_r = pdf_cond * fr_d / jnp.maximum(fr_d + (1.0 - fr_d), 1e-9)
 
+    # coated diffuse / coated conductor: Fresnel-coupled two-lobe model — the
+    # single-scattering closed form of the reference's stochastic LayeredBxDF
+    # (bxdfs.h TopOrBottomBxDF / LayeredBxDF random walk): a dielectric-coat
+    # GGX lobe plus the base lobe attenuated by (1-F(wo))(1-F(wi)). The coat
+    # alpha is clamped away from delta so both lobes stay samplable with one
+    # pdf (full stochastic multi-bounce layering is a later refinement).
+    cax = _coat_alpha(ctx)
+    fo = fr_dielectric(vm.abs_cos_theta(wo), ctx.eta)
+    fi = fr_dielectric(abs_ci, ctx.eta)
+    atten = ((1.0 - fo) * (1.0 - fi))[..., None]
+    fr_c = fr_dielectric(vm.absdot(wo, wm_n), ctx.eta)
+    d_c = tr_d(wm_n, cax, cax)
+    g_c = tr_g(wo, wi, cax, cax)
+    f_coat = jnp.where(refl_side & (wm_len2 > 1e-12),
+                       fr_c * d_c * g_c / denom, 0.0)
+    pdf_coat = jnp.where(
+        refl_side & (wm_len2 > 1e-12),
+        tr_pdf(wo, wm_n, cax, cax) / jnp.maximum(4.0 * vm.absdot(wo, wm_n), 1e-9),
+        0.0)
+    p_spec = _coat_lobe_prob(fo)
+    f_cdiff = f_coat[..., None] + atten * f_diff
+    pdf_cdiff = p_spec * pdf_coat + (1.0 - p_spec) * pdf_diff
+    f_ccond = f_coat[..., None] + atten * f_cond
+    pdf_ccond = p_spec * pdf_coat + (1.0 - p_spec) * pdf_cond
+
     conds = [
         t == scene_mod.MAT_DIFFUSE,
         t == scene_mod.MAT_CONDUCTOR,
         t == scene_mod.MAT_DIELECTRIC,
+        t == scene_mod.MAT_COATED_DIFFUSE,
+        t == scene_mod.MAT_COATED_CONDUCTOR,
     ]
-    f = jnp.select([c[..., None] for c in conds], [f_diff, f_cond, f_diel_r],
+    f = jnp.select([c[..., None] for c in conds],
+                   [f_diff, f_cond, f_diel_r, f_cdiff, f_ccond],
                    default=jnp.zeros_like(f_diff))
-    pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel_r],
+    pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel_r, pdf_cdiff,
+                             pdf_ccond],
                      default=jnp.zeros_like(pdf_diff))
     return f, pdf
+
+
+def _coat_alpha(ctx: MaterialCtx) -> Array:
+    """Coat GGX alpha, clamped away from the delta limit (see evaluate)."""
+    c = ctx.coat_ax if ctx.coat_ax is not None else jnp.zeros_like(ctx.ax)
+    return jnp.maximum(c, 0.04)
+
+
+def _coat_lobe_prob(fo: Array) -> Array:
+    """Coat-vs-base lobe selection probability from the wo Fresnel."""
+    return jnp.clip(fo, 0.1, 0.9)
 
 
 def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
@@ -334,26 +400,55 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
     f_dt = ctx.refl * INV_PI  # same refl for R and T in this first cut
     trans_dt = ~vm.same_hemisphere(wo, wi_dt)
 
+    # ---- coated diffuse / coated conductor --------------------------------
+    # choose coat vs base lobe by the wo Fresnel, then score with evaluate()
+    # (both lobes are non-delta by the coat-alpha clamp, so f/pdf from
+    # evaluate are exact for the mixture)
+    cax = _coat_alpha(ctx)
+    fo = fr_dielectric(vm.abs_cos_theta(wo), ctx.eta)
+    p_spec = _coat_lobe_prob(fo)
+    choose_spec = uc < p_spec
+    wm_c = tr_sample_wm(wo_up, u2, cax, cax)
+    wm_c = jnp.where(wo[..., 2:3] < 0, -wm_c, wm_c)
+    wi_coat = vm.reflect(wo, wm_c)
+    wi_cd = jnp.where(choose_spec[..., None], wi_coat, wi_diff)
+    f_cd, pdf_cd = evaluate(
+        ctx._replace(mat_type=jnp.full_like(t, scene_mod.MAT_COATED_DIFFUSE)),
+        wo, wi_cd)
+    wi_cc = jnp.where(choose_spec[..., None], wi_coat, wi_rough)
+    f_cc, pdf_cc = evaluate(
+        ctx._replace(mat_type=jnp.full_like(t, scene_mod.MAT_COATED_CONDUCTOR)),
+        wo, wi_cc)
+    valid_cd = vm.same_hemisphere(wo, wi_cd)
+    valid_cc = vm.same_hemisphere(wo, wi_cc)
+
     conds = [
         t == scene_mod.MAT_DIFFUSE,
         t == scene_mod.MAT_CONDUCTOR,
         t == scene_mod.MAT_DIELECTRIC,
         t == scene_mod.MAT_THIN_DIELECTRIC,
         t == scene_mod.MAT_DIFFUSE_TRANSMISSION,
+        t == scene_mod.MAT_COATED_DIFFUSE,
+        t == scene_mod.MAT_COATED_CONDUCTOR,
     ]
     conds1 = [c[..., None] for c in conds]
-    wi = jnp.select(conds1, [wi_diff, wi_cond, wi_diel, wi_thin, wi_dt], wi_diff)
-    f = jnp.select(conds1, [f_diff, f_cond, f_diel, f_thin, f_dt], jnp.zeros_like(f_diff))
-    pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt], jnp.zeros_like(pdf_diff))
+    wi = jnp.select(conds1, [wi_diff, wi_cond, wi_diel, wi_thin, wi_dt,
+                             wi_cd, wi_cc], wi_diff)
+    f = jnp.select(conds1, [f_diff, f_cond, f_diel, f_thin, f_dt, f_cd, f_cc],
+                   jnp.zeros_like(f_diff))
+    pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt,
+                             pdf_cd, pdf_cc], jnp.zeros_like(pdf_diff))
+    zeros_b = jnp.zeros_like(smooth)
     specular = jnp.select(
         conds,
-        [jnp.zeros_like(smooth), smooth, smooth, jnp.ones_like(smooth), jnp.zeros_like(smooth)],
-        jnp.zeros_like(smooth),
+        [zeros_b, smooth, smooth, jnp.ones_like(smooth), zeros_b,
+         zeros_b, zeros_b],
+        zeros_b,
     )
     transmission = jnp.select(
         conds,
-        [jnp.zeros_like(smooth), jnp.zeros_like(smooth), trans_diel, ~thin_refl, trans_dt],
-        jnp.zeros_like(smooth),
+        [zeros_b, zeros_b, trans_diel, ~thin_refl, trans_dt, zeros_b, zeros_b],
+        zeros_b,
     )
     eta_out = jnp.where((t == scene_mod.MAT_DIELECTRIC) & trans_diel, eta_used, 1.0)
     valid = jnp.select(
@@ -364,8 +459,10 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
             valid_diel,
             jnp.ones_like(smooth),
             jnp.ones_like(smooth),
+            valid_cd,
+            valid_cc,
         ],
-        jnp.zeros_like(smooth),
+        zeros_b,
     )
     valid = valid & (pdf > 0) & (t >= 0)
     return BSDFSample(wi=wi, f=f, pdf=pdf, specular=specular,

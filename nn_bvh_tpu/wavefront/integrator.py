@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import vecmath as vm, sampling, spectrum, samplers
+from ..core import vecmath as vm, sampling, spectrum, samplers, rng
 from ..geometry import scene as scene_mod, triangle
 from ..scatter import bxdf, lights, lightsamplers
 from .. import accel
@@ -274,8 +274,10 @@ def trace_wave(
         )
         active = found
 
-        # material context (one fused gather)
-        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv)
+        # material context (one fused gather; MixMaterial resolved per lane)
+        u_mix = rng.hash_float(pixel_idx, sidx, jnp.asarray(depth, jnp.uint32),
+                               jnp.uint32(0x77))
+        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv, u_mix)
         active = active & (sp.mat >= 0)
         wo_local = vm.to_local(sp.ns, wo)
 

@@ -457,7 +457,8 @@ def trace_wave_vol(
                     cur_med, eta_scale)
 
         wo = -d
-        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv)
+        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv,
+                                   _rand(depth, 31))
         is_interface = surf_found & (sp.mat < 0)
         surf_lane = surf_found & (sp.mat >= 0)
 
