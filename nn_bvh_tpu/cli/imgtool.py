@@ -115,6 +115,130 @@ def cmd_error(args):
         print(json.dumps({"image": p, "mse": im.mse(a, ref), "mrse": im.mrse(a, ref)}))
 
 
+def cmd_makeequiarea(args):
+    """Equirectangular lat-long env map -> equal-area octahedral
+    (imgtool makeequiarea; the renderer's ImageInfiniteLight format)."""
+    import jax.numpy as jnp
+    from ..core import vecmath as vm
+
+    src = _read(args.input)
+    h, w = src.shape[:2]
+    res = args.resolution
+    u = (np.arange(res) + 0.5) / res
+    uu, vv = np.meshgrid(u, u, indexing="xy")
+    d = np.asarray(vm.equal_area_square_to_sphere(
+        jnp.asarray(np.stack([uu, vv], -1), jnp.float32)))
+    theta = np.arccos(np.clip(d[..., 1], -1, 1))        # y up
+    phi = np.arctan2(d[..., 2], d[..., 0]) % (2 * np.pi)
+    x = np.clip((phi / (2 * np.pi) * w).astype(int), 0, w - 1)
+    y = np.clip((theta / np.pi * h).astype(int), 0, h - 1)
+    _write(args.output, src[y, x].astype(np.float32))
+
+
+def cmd_makesky(args):
+    """Analytic clear-sky env map (imgtool makesky; the reference uses the
+    Hosek-Wilkie model — this is a CIE-clear-sky + sun-disk approximation,
+    adequate for lighting tests; plug real HW tables in later)."""
+    res = args.resolution
+    el = np.deg2rad(args.elevation)
+    sun_d = np.array([np.cos(el), np.sin(el), 0.0])
+    import jax.numpy as jnp
+    from ..core import vecmath as vm
+
+    u = (np.arange(res) + 0.5) / res
+    uu, vv = np.meshgrid(u, u, indexing="xy")
+    d = np.asarray(vm.equal_area_square_to_sphere(
+        jnp.asarray(np.stack([uu, vv], -1), jnp.float32)))
+    cos_g = np.clip(d @ sun_d, -1, 1)
+    gamma = np.arccos(cos_g)
+    cos_t = np.clip(d[..., 1], 0.0, 1.0)  # zenith angle from up (y)
+    # CIE clear sky relative luminance
+    lum = ((0.91 + 10 * np.exp(-3 * gamma) + 0.45 * cos_g ** 2)
+           * (1 - np.exp(-0.32 / np.maximum(cos_t, 0.02))))
+    lum = lum / lum.max()
+    horizon_warm = np.clip(1 - cos_t, 0, 1) ** 2
+    rgb = np.stack([
+        lum * (0.45 + 0.45 * horizon_warm),
+        lum * (0.55 + 0.25 * horizon_warm),
+        lum * (1.0 - 0.3 * horizon_warm),
+    ], -1)
+    # sun disk as a gaussian no narrower than a texel (so it always lands)
+    sun_rad = max(np.deg2rad(0.53), 2 * np.pi / res)
+    rgb += np.exp(-((gamma / sun_rad) ** 2))[..., None] * args.sun_scale
+    rgb *= (d[..., 1] > -0.05)[..., None]  # black below horizon
+    _write(args.output, (rgb * args.scale).astype(np.float32))
+
+
+def cmd_assemble(args):
+    """Reassemble --crop render tiles into one image (imgtool assemble):
+    inputs are (image, x0, y0) triples encoded as path:x0,y0."""
+    tiles = []
+    for spec in args.inputs:
+        path, _, off = spec.partition(":")
+        x0, y0 = (int(v) for v in off.split(",")) if off else (0, 0)
+        tiles.append((path, x0, y0, _read(path)))
+    w = max(x0 + t.shape[1] for _, x0, _, t in tiles)
+    h = max(y0 + t.shape[0] for _, _, y0, t in tiles)
+    out = np.zeros((h, w, tiles[0][3].shape[2]), np.float32)
+    for _, x0, y0, t in tiles:
+        out[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t
+    _write(args.output, out)
+
+
+def cmd_splitn(args):
+    """Split an image into n horizontal strips (imgtool splitn)."""
+    img = _read(args.input)
+    h = img.shape[0]
+    for i in range(args.n):
+        y0, y1 = i * h // args.n, (i + 1) * h // args.n
+        out = args.output.replace("%d", str(i))
+        _write(out, img[y0:y1])
+
+
+def cmd_bloom(args):
+    """Add bloom around bright pixels (imgtool convert --bloom*)."""
+    img = _read(args.input)
+    bright = np.where(img.max(-1, keepdims=True) > args.level, img, 0.0)
+    # separable box blur iterated (~= gaussian)
+    blur = bright
+    # np.convolve(mode="same") returns max(M, N) samples: keep the kernel
+    # strictly narrower than both image axes
+    r = max(1, min(int(args.width), (min(img.shape[0], img.shape[1]) - 2) // 2))
+    for _ in range(3):
+        k = np.ones(2 * r + 1, np.float32) / (2 * r + 1)
+        blur = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), 0, blur)
+        blur = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), 1, blur)
+    _write(args.output, (img + args.scale * blur).astype(np.float32))
+
+
+def cmd_despike(args):
+    """Replace fireflies above threshold with the 3x3 median
+    (imgtool convert --despike)."""
+    img = _read(args.input)
+    lum = img.mean(-1)
+    pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stack = [pad[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+             for dy in range(3) for dx in range(3)]
+    med = np.median(np.stack(stack), axis=0)
+    spike = (lum > args.level)[..., None]
+    _write(args.output, np.where(spike, med, img).astype(np.float32))
+
+
+def cmd_whitebalance(args):
+    """Chromatic adaptation from a source color temperature
+    (imgtool whitebalance)."""
+    from ..wavefront import film as film_mod
+    from ..core import colorspace
+
+    img = _read(args.input)
+    sensor = film_mod.make_sensor(white_balance_temp=args.temperature)
+    xyz = np.asarray(colorspace.SRGB_TO_XYZ) @ img.reshape(-1, 3).T
+    out = (np.asarray(sensor.xyz_to_rgb) @ xyz).T.reshape(img.shape)
+    _write(args.output, out.astype(np.float32))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="imgtool")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -157,6 +281,51 @@ def main(argv=None):
     e.add_argument("inputs", nargs="+")
     e.add_argument("--reference", required=True)
     e.set_defaults(fn=cmd_error)
+
+    m = sub.add_parser("makeequiarea")
+    m.add_argument("input")
+    m.add_argument("output")
+    m.add_argument("--resolution", type=int, default=512)
+    m.set_defaults(fn=cmd_makeequiarea)
+
+    k = sub.add_parser("makesky")
+    k.add_argument("output")
+    k.add_argument("--elevation", type=float, default=30.0, help="sun deg")
+    k.add_argument("--resolution", type=int, default=512)
+    k.add_argument("--scale", type=float, default=1.0)
+    k.add_argument("--sun-scale", type=float, default=50.0)
+    k.set_defaults(fn=cmd_makesky)
+
+    s = sub.add_parser("assemble")
+    s.add_argument("inputs", nargs="+", help="path[:x0,y0] tiles")
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_assemble)
+
+    p = sub.add_parser("splitn")
+    p.add_argument("input")
+    p.add_argument("output", help="pattern containing %%d")
+    p.add_argument("--n", type=int, default=2)
+    p.set_defaults(fn=cmd_splitn)
+
+    b = sub.add_parser("bloom")
+    b.add_argument("input")
+    b.add_argument("output")
+    b.add_argument("--level", type=float, default=2.0)
+    b.add_argument("--width", type=int, default=8)
+    b.add_argument("--scale", type=float, default=0.3)
+    b.set_defaults(fn=cmd_bloom)
+
+    q = sub.add_parser("despike")
+    q.add_argument("input")
+    q.add_argument("output")
+    q.add_argument("--level", type=float, default=10.0)
+    q.set_defaults(fn=cmd_despike)
+
+    w = sub.add_parser("whitebalance")
+    w.add_argument("input")
+    w.add_argument("output")
+    w.add_argument("--temperature", type=float, default=6500.0)
+    w.set_defaults(fn=cmd_whitebalance)
 
     args = ap.parse_args(argv)
     args.fn(args)

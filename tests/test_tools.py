@@ -92,3 +92,56 @@ class TestTreeExport:
         # traversal-ready: leaves cover all prims
         meta = bvh.node_meta
         assert meta[meta[:, 1] > 0][:, 1].sum() == len(prims)
+
+
+def test_imgtool_extended_subcommands(tmp_path):
+    """makeequiarea / makesky / assemble / splitn / bloom / despike /
+    whitebalance round-trips (cmd/imgtool.cpp analogs)."""
+    import numpy as np
+    from nn_bvh_tpu.cli import imgtool
+    from nn_bvh_tpu.utils import image as im
+
+    d = str(tmp_path)
+    # equirect source with a bright band at the horizon
+    src = np.zeros((64, 128, 3), np.float32)
+    src[28:36] = (1.0, 0.8, 0.6)
+    im.write_pfm(f"{d}/equi.pfm", src)
+    imgtool.main(["makeequiarea", f"{d}/equi.pfm", f"{d}/octa.pfm",
+                  "--resolution", "64"])
+    octa = im.read_pfm(f"{d}/octa.pfm")
+    assert octa.shape == (64, 64, 3) and octa.max() > 0.5
+
+    imgtool.main(["makesky", f"{d}/sky.pfm", "--resolution", "64",
+                  "--elevation", "25"])
+    sky = im.read_pfm(f"{d}/sky.pfm")
+    assert np.isfinite(sky).all() and sky.max() > 1.0  # sun disk present
+
+    # splitn + assemble round-trip
+    img = np.random.RandomState(0).rand(32, 16, 3).astype(np.float32)
+    im.write_pfm(f"{d}/a.pfm", img)
+    imgtool.main(["splitn", f"{d}/a.pfm", f"{d}/part%d.pfm", "--n", "2"])
+    imgtool.main(["assemble", f"{d}/part0.pfm:0,0", f"{d}/part1.pfm:0,16",
+                  "--output", f"{d}/re.pfm"])
+    re = im.read_pfm(f"{d}/re.pfm")
+    assert np.allclose(re, img, atol=1e-6)
+
+    # despike removes an isolated firefly
+    spiky = img.copy()
+    spiky[5, 5] = 1000.0
+    im.write_pfm(f"{d}/spiky.pfm", spiky)
+    imgtool.main(["despike", f"{d}/spiky.pfm", f"{d}/clean.pfm",
+                  "--level", "50"])
+    clean = im.read_pfm(f"{d}/clean.pfm")
+    assert clean.max() < 10.0
+
+    # bloom adds energy near bright pixels
+    imgtool.main(["bloom", f"{d}/spiky.pfm", f"{d}/bloom.pfm",
+                  "--level", "100"])
+    bl = im.read_pfm(f"{d}/bloom.pfm")
+    assert bl.sum() > spiky.sum()
+
+    # whitebalance shifts channel balance
+    imgtool.main(["whitebalance", f"{d}/a.pfm", f"{d}/wb.pfm",
+                  "--temperature", "3000"])
+    wb = im.read_pfm(f"{d}/wb.pfm")
+    assert not np.allclose(wb, img)
