@@ -137,3 +137,35 @@ class TestSceneBVH:
         p1 = np.sort(np.asarray(sc.tri_p[: sc.n_tris]).reshape(-1, 9), axis=0)
         p2 = np.sort(np.asarray(sc2.tri_p[: sc2.n_tris]).reshape(-1, 9), axis=0)
         np.testing.assert_allclose(p1, p2)
+
+
+def test_kdtree_aggregate_matches_brute():
+    """SAH kd-tree build + traversal hit-parity with brute force
+    (KdTreeAggregate, cpu/aggregates.h:76)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nn_bvh_tpu import accel
+    from nn_bvh_tpu.accel import kdtree, build as bm
+
+    rs = np.random.RandomState(5)
+    n = 300
+    v0 = rs.rand(n, 3).astype(np.float32) * 6
+    tri = np.stack([v0, v0 + rs.rand(n, 3) * 0.7, v0 + rs.rand(n, 3) * 0.7], 1)
+    lo, hi = bm.triangle_bounds(tri)
+    kt = kdtree.build_kdtree(lo, hi)
+    assert kt.n_nodes > 3
+    tp = jnp.asarray(tri)
+    R = 256
+    o = jnp.asarray(rs.rand(R, 3) * 6, jnp.float32)
+    d = rs.randn(R, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tm = jnp.full((R,), 1e30)
+    hb = accel.intersect_brute(tp, o, d, tm)
+    hk = kdtree.intersect_closest(kt, tp, o, d, tm)
+    np.testing.assert_allclose(np.asarray(hk.t), np.asarray(hb.t), rtol=2e-4)
+    assert np.array_equal(np.asarray(hk.prim) >= 0, np.asarray(hb.prim) >= 0)
+    # any-hit agrees on occlusion with finite t_max
+    tm2 = jnp.full((R,), 1.5)
+    occ_b = np.isfinite(np.asarray(accel.intersect_brute(tp, o, d, tm2).t))
+    occ_k = np.asarray(kdtree.intersect_any(kt, tp, o, d, tm2))
+    assert np.array_equal(occ_b, occ_k)
