@@ -274,15 +274,12 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
         0.0,
     )
 
-    # rough dielectric: reflection branch only for evaluate (transmission pdf
-    # handled in sampling; evaluate covers the common MIS shadow-ray case)
-    fr_d = fr_dielectric(vm.dot(wo, wm_n), ctx.eta)
-    f_diel_r = jnp.where(
-        valid_m[..., None],
-        jnp.broadcast_to((fr_d * d_ggx * g_ggx / denom)[..., None], f_cond.shape),
-        0.0,
-    )
-    pdf_diel_r = pdf_cond * fr_d / jnp.maximum(fr_d + (1.0 - fr_d), 1e-9)
+    # rough dielectric, reflection AND transmission (bxdfs.h DielectricBxDF
+    # rough f()/PDF(): generalized half vector wm = wi*etap + wo, backfacing
+    # microfacets rejected, transmission Jacobian dwm/dwi = |wi.wm| / denom^2,
+    # radiance transport 1/etap^2)
+    f_diel_r, pdf_diel_r = _rough_dielectric_eval(ctx, wo, wi, smooth)
+    f_diel_r = jnp.broadcast_to(f_diel_r[..., None], f_cond.shape)
 
     # coated diffuse / coated conductor: Fresnel-coupled two-lobe model — the
     # single-scattering closed form of the reference's stochastic LayeredBxDF
@@ -322,6 +319,45 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
     pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel_r, pdf_cdiff,
                              pdf_ccond],
                      default=jnp.zeros_like(pdf_diff))
+    return f, pdf
+
+
+def _rough_dielectric_eval(ctx: MaterialCtx, wo: Array, wi: Array,
+                           smooth: Array):
+    """f and pdf of the rough dielectric for an arbitrary (wo, wi) pair —
+    reflection or transmission decided by the hemisphere relation
+    (bxdfs.h DielectricBxDF::f / ::PDF, rough branch). Returns
+    (f (...,), pdf (...,)); zero on effectively-smooth lanes (delta)."""
+    cos_o = vm.cos_theta(wo)
+    cos_i = vm.cos_theta(wi)
+    is_refl = cos_i * cos_o > 0
+    # etap: relative IOR of the crossing for transmission, 1 for reflection
+    etap = jnp.where(is_refl, 1.0, jnp.where(cos_o > 0, ctx.eta, 1.0 / ctx.eta))
+    wm = wi * etap[..., None] + wo
+    wm_len2 = vm.length_squared(wm)
+    degenerate = (cos_i == 0) | (cos_o == 0) | (wm_len2 < 1e-16)
+    wm = vm.normalize(jnp.where(degenerate[..., None], wo, wm))
+    wm = jnp.where(wm[..., 2:3] < 0, -wm, wm)
+    # reject backfacing microfacets
+    back = (vm.dot(wm, wi) * cos_i < 0) | (vm.dot(wm, wo) * cos_o < 0)
+    fr = fr_dielectric(vm.dot(wo, wm), ctx.eta)
+    d = tr_d(wm, ctx.ax, ctx.ay)
+    g = tr_g(wo, wi, ctx.ax, ctx.ay)
+    pdf_wm = tr_pdf(wo, wm, ctx.ax, ctx.ay)
+    # reflection
+    f_r = d * fr * g / jnp.maximum(4.0 * jnp.abs(cos_i * cos_o), 1e-12)
+    pdf_r = pdf_wm / jnp.maximum(4.0 * vm.absdot(wo, wm), 1e-9) * fr
+    # transmission
+    denom = (vm.dot(wi, wm) + vm.dot(wo, wm) / etap) ** 2
+    f_t = (d * (1.0 - fr) * g
+           * jnp.abs(vm.dot(wi, wm) * vm.dot(wo, wm))
+           / jnp.maximum(jnp.abs(cos_i * cos_o) * denom, 1e-12)
+           / (etap * etap))
+    dwm_dwi = vm.absdot(wi, wm) / jnp.maximum(denom, 1e-12)
+    pdf_t = pdf_wm * dwm_dwi * (1.0 - fr)
+    ok = ~degenerate & ~back & ~smooth
+    f = jnp.where(ok, jnp.where(is_refl, f_r, f_t), 0.0)
+    pdf = jnp.where(ok, jnp.where(is_refl, pdf_r, pdf_t), 0.0)
     return f, pdf
 
 
@@ -375,12 +411,35 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
     f_refl = (frd / jnp.maximum(vm.abs_cos_theta(wi_mirror), 1e-9))[..., None]
     # radiance transport: divide by eta^2 for transmission (bxdfs.h DielectricBxDF)
     f_tran = ((1.0 - frd) / jnp.maximum(vm.abs_cos_theta(wt), 1e-9) / (eta_used * eta_used))[..., None]
-    wi_diel = jnp.where(reflect_choice[..., None], wi_mirror, wt)
-    f_diel = jnp.where(reflect_choice[..., None], f_refl, f_tran)
-    f_diel = jnp.broadcast_to(f_diel, f_diff.shape)
-    pdf_diel = jnp.where(reflect_choice, frd, 1.0 - frd)
-    valid_diel = reflect_choice | ok_t
-    trans_diel = ~reflect_choice
+    wi_diel_s = jnp.where(reflect_choice[..., None], wi_mirror, wt)
+    f_diel_s = jnp.where(reflect_choice[..., None], f_refl, f_tran)
+    pdf_diel_s = jnp.where(reflect_choice, frd, 1.0 - frd)
+    valid_diel_s = reflect_choice | ok_t
+    trans_diel_s = ~reflect_choice
+
+    # ---- dielectric (rough): microfacet reflect/refract against a sampled
+    # visible normal (bxdfs.h DielectricBxDF::Sample_f rough branch). wm stays
+    # in the +z hemisphere; fr_dielectric/refract handle wo below the surface.
+    wm_d = tr_sample_wm(wo_up, u2, ctx.ax, ctx.ay)
+    fr_m = fr_dielectric(vm.dot(wo, wm_d), ctx.eta)
+    r_choice = uc < fr_m  # TIR => fr_m == 1 => always reflect
+    wi_dr = vm.reflect(wo, wm_d)
+    ok_rt, eta_rough, wi_dt2 = vm.refract(wo, wm_d, ctx.eta)
+    wi_diel_r = jnp.where(r_choice[..., None], wi_dr, wi_dt2)
+    f_rd, pdf_rd = _rough_dielectric_eval(
+        ctx, wo, wi_diel_r, jnp.zeros_like(smooth))
+    valid_diel_r = jnp.where(
+        r_choice, vm.same_hemisphere(wo, wi_dr),
+        ok_rt & ~vm.same_hemisphere(wo, wi_dt2))
+
+    sm1 = smooth[..., None]
+    wi_diel = jnp.where(sm1, wi_diel_s, wi_diel_r)
+    f_diel = jnp.broadcast_to(
+        jnp.where(sm1, f_diel_s, f_rd[..., None]), f_diff.shape)
+    pdf_diel = jnp.where(smooth, pdf_diel_s, pdf_rd)
+    valid_diel = jnp.where(smooth, valid_diel_s, valid_diel_r)
+    trans_diel = jnp.where(smooth, trans_diel_s, ~r_choice & valid_diel_r)
+    eta_used = jnp.where(smooth, eta_used, eta_rough)
 
     # ---- thin dielectric -------------------------------------------------
     frt = fr_dielectric(jnp.abs(ci), ctx.eta)
