@@ -104,6 +104,16 @@ def main(argv=None):
         mesh = sharding.make_mesh()
         img = sharding.render_sharded(sc, dbvh, cam, mesh, spp=spp, sampler=sampler,
                                       seed=args.seed, cfg=cfg)
+    elif integ == "bdpt":
+        from ..wavefront import bdpt as bdpt_mod
+
+        img = bdpt_mod.render_bdpt(sc, dbvh, cam, spp=spp, seed=args.seed,
+                                   cfg=cfg)
+    elif integ == "lightpath":
+        from ..wavefront import lightpath as lightpath_mod
+
+        img = lightpath_mod.render_lightpath(sc, dbvh, cam, spp=spp,
+                                             seed=args.seed, cfg=cfg)
     else:
         img = integrator.render(sc, dbvh, cam, spp=spp, sampler=sampler,
                                 seed=args.seed, cfg=cfg, wave_callback=wave_cb)
