@@ -109,6 +109,11 @@ def main(argv=None):
 
         img = bdpt_mod.render_bdpt(sc, dbvh, cam, spp=spp, seed=args.seed,
                                    cfg=cfg)
+    elif integ == "mlt":
+        from ..wavefront import mlt as mlt_mod
+
+        img = mlt_mod.render_mlt(sc, dbvh, cam, spp=spp, seed=args.seed,
+                                 cfg=cfg)
     elif integ == "lightpath":
         from ..wavefront import lightpath as lightpath_mod
 

@@ -36,6 +36,7 @@ STRATIFIED = 1
 SOBOL = 2
 HALTON = 3
 ZSOBOL = 4
+TABLE = 5  # u-vector driven (MLT primary-sample-space chains)
 
 
 class SamplerConfig(NamedTuple):
@@ -43,6 +44,8 @@ class SamplerConfig(NamedTuple):
     seed: int
     spp: int  # samples per pixel (for stratified / sobol log2 rounding)
     width: int = 0  # image width (ZSobol needs 2D pixel coords from the flat index)
+    table: Array | None = None  # (lanes, D) u-values for kind=TABLE; the
+    # MLT driver passes sample_index = lane index so get_* can row-index it
 
 
 def make_sampler(kind: str = "sobol", seed: int = 0, spp: int = 16,
@@ -73,6 +76,9 @@ def _log2_ceil(n: int) -> int:
 
 def get_1d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> Array:
     """One sample dimension in [0,1). pixel/sample are int32 arrays, dim int."""
+    if cfg.kind == TABLE:
+        d = jnp.clip(jnp.asarray(dim, jnp.int32), 0, cfg.table.shape[1] - 1)
+        return cfg.table[sample, d]
     dim = jnp.asarray(dim, jnp.uint32)
     if cfg.kind == INDEPENDENT:
         return rng.hash_float(pixel, sample, dim, jnp.uint32(cfg.seed))
@@ -103,6 +109,9 @@ def get_1d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> Array:
 
 def get_2d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> tuple[Array, Array]:
     """A 2D sample in [0,1)^2; consumes dims (dim, dim+1)."""
+    if cfg.kind == TABLE:
+        d = jnp.clip(jnp.asarray(dim, jnp.int32), 0, cfg.table.shape[1] - 2)
+        return cfg.table[sample, d], cfg.table[sample, d + 1]
     dim = jnp.asarray(dim, jnp.uint32)
     if cfg.kind == INDEPENDENT:
         return (
