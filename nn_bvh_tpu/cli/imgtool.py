@@ -56,7 +56,101 @@ def cmd_convert(args):
         img = img[y0:y1, x0:x1]
     if args.flipy:
         img = img[::-1]
+    for _ in range(args.downsample):
+        h, w = img.shape[0] & ~1, img.shape[1] & ~1
+        c = img[:h, :w]
+        img = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2]
+                      + c[1::2, 1::2])
+    if args.gamma != 1.0:
+        img = np.sign(img) * np.abs(img) ** (1.0 / args.gamma)
+    if args.colorspace:
+        from ..core import colorspace as cs
+
+        # input assumed linear sRGB (our render output space)
+        xyz = np.asarray(img) @ cs.RGB_TO_XYZ["srgb"].T
+        img = (xyz @ cs.XYZ_TO_RGB[args.colorspace].T).astype(np.float32)
     _write(args.output, img)
+
+
+def cmd_cat(args):
+    """Print pixel values as text (imgtool cat)."""
+    img = _read(args.input)
+    if args.csv:
+        for y in range(img.shape[0]):
+            for x in range(img.shape[1]):
+                print(",".join(f"{v:g}" for v in np.atleast_1d(img[y, x])))
+    else:
+        print(np.array2string(img, precision=5, threshold=1 << 30))
+
+
+def cmd_makeemitters(args):
+    """Emit a pbrt scene fragment with one emissive quad per (downsampled)
+    pixel of the input image (imgtool makeemitters, cmd/imgtool.cpp)."""
+    img = _read(args.input)
+    for _ in range(args.downsample):
+        h, w = img.shape[0] & ~1, img.shape[1] & ~1
+        c = img[:h, :w]
+        img = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2]
+                      + c[1::2, 1::2])
+    h, w = img.shape[:2]
+    lines = []
+    for y in range(h):
+        for x in range(w):
+            rgb = np.atleast_1d(img[y, x])[:3]
+            if float(rgb.max()) <= 0:
+                continue
+            lines.append("AttributeBegin")
+            lines.append(
+                'AreaLightSource "diffuse" "rgb L" [ %g %g %g ]'
+                % tuple(float(v) for v in rgb))
+            x0, x1 = x / w, (x + 1) / w
+            y0, y1 = 1 - (y + 1) / h, 1 - y / h
+            lines.append(
+                'Shape "bilinearmesh" "point3 P" [ %g %g 0 %g %g 0 %g %g 0 %g %g 0 ]'
+                % (x0, y0, x1, y0, x0, y1, x1, y1))
+            lines.append("AttributeEnd")
+    out = "\n".join(lines) + "\n"
+    if args.output:
+        with open(args.output, "w") as fobj:
+            fobj.write(out)
+    else:
+        sys.stdout.write(out)
+
+
+def cmd_denoise(args):
+    """Cross-bilateral denoiser guided by auxiliary normal/albedo AOVs
+    (the CPU stand-in for the reference's `imgtool denoise-optix`
+    OptiX AI denoiser, gpu/denoiser.*; pair with the renderer's --gbuffer
+    AOV pass). Joint range weights on color, normal and albedo."""
+    img = _read(args.input)
+    nrm = _read(args.normal) if args.normal else None
+    alb = _read(args.albedo) if args.albedo else None
+    r = args.radius
+    sig_s = max(r / 2.0, 1e-3)
+    h, w = img.shape[:2]
+    pad = lambda a: np.pad(a, ((r, r), (r, r), (0, 0)), mode="reflect")
+    ip = pad(img)
+    npd = pad(nrm) if nrm is not None else None
+    apd = pad(alb) if alb is not None else None
+    acc = np.zeros_like(img, np.float64)
+    wacc = np.zeros((h, w, 1), np.float64)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sl = ip[r + dy:r + dy + h, r + dx:r + dx + w]
+            wgt = np.exp(-(dx * dx + dy * dy) / (2 * sig_s * sig_s))
+            d2 = ((sl - img) ** 2).sum(-1, keepdims=True)
+            wgt = wgt * np.exp(-d2 / (2 * args.sigma_color ** 2))
+            if npd is not None:
+                sn = npd[r + dy:r + dy + h, r + dx:r + dx + w]
+                dn = ((sn - nrm) ** 2).sum(-1, keepdims=True)
+                wgt = wgt * np.exp(-dn / (2 * args.sigma_normal ** 2))
+            if apd is not None:
+                sa = apd[r + dy:r + dy + h, r + dx:r + dx + w]
+                da = ((sa - alb) ** 2).sum(-1, keepdims=True)
+                wgt = wgt * np.exp(-da / (2 * args.sigma_albedo ** 2))
+            acc += sl * wgt
+            wacc += wgt
+    _write(args.output, (acc / np.maximum(wacc, 1e-12)).astype(np.float32))
 
 
 def cmd_diff(args):
@@ -252,7 +346,34 @@ def main(argv=None):
     c.add_argument("--clamp", type=float, default=None)
     c.add_argument("--crop", default=None, help="x0,x1,y0,y1")
     c.add_argument("--flipy", action="store_true")
+    c.add_argument("--downsample", type=int, default=0,
+                   help="2x box-downsample N times")
+    c.add_argument("--gamma", type=float, default=1.0)
+    c.add_argument("--colorspace", default=None,
+                   choices=["srgb", "rec2020", "dci-p3", "aces2065-1"])
     c.set_defaults(fn=cmd_convert)
+
+    t = sub.add_parser("cat")
+    t.add_argument("input")
+    t.add_argument("--csv", action="store_true")
+    t.set_defaults(fn=cmd_cat)
+
+    me = sub.add_parser("makeemitters")
+    me.add_argument("input")
+    me.add_argument("--output", default=None)
+    me.add_argument("--downsample", type=int, default=0)
+    me.set_defaults(fn=cmd_makeemitters)
+
+    dn = sub.add_parser("denoise")
+    dn.add_argument("input")
+    dn.add_argument("output")
+    dn.add_argument("--normal", default=None, help="GBuffer normal AOV")
+    dn.add_argument("--albedo", default=None, help="GBuffer albedo AOV")
+    dn.add_argument("--radius", type=int, default=4)
+    dn.add_argument("--sigma-color", type=float, default=0.25)
+    dn.add_argument("--sigma-normal", type=float, default=0.3)
+    dn.add_argument("--sigma-albedo", type=float, default=0.15)
+    dn.set_defaults(fn=cmd_denoise)
 
     d = sub.add_parser("diff")
     d.add_argument("image")

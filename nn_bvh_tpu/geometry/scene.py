@@ -33,6 +33,8 @@ MAT_DIFFUSE_TRANSMISSION = 4
 MAT_COATED_DIFFUSE = 5
 MAT_COATED_CONDUCTOR = 6
 MAT_MIX = 7
+MAT_HAIR = 8
+MAT_MEASURED = 9
 MAT_INTERFACE = -1  # no material (pass-through)
 
 # light type tags (base/light.h:40 analog)
@@ -111,6 +113,10 @@ class CompiledScene(NamedTuple):
     # per texel — the device-side analog of pbrt's RGBToSpectrumTable lookup,
     # without the 8-gather trilinear table walk). (T, TEX_RES, TEX_RES, 4).
     tex_coeffs: Array = None
+    # measured BRDFs (MeasuredBxDF analog, scatter/measured.py): a stack of
+    # (mu_o, mu_i, dphi) tables of spectral-uplift coefficients.
+    # (T, No, Ni, Np, 4); the 1-entry zero table means "none".
+    measured_coeffs: Array = None
     # env map (ImageInfiniteLight, equal-area octahedral like the reference):
     # (He, We, 4) coefficient image + luminance distribution tables
     env_coeffs: Array = None
@@ -195,12 +201,22 @@ class SceneBuilder:
     _materials: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
     _textures: list = field(default_factory=list)   # (TEX_RES,TEX_RES,3) rgb
+    _measured: list = field(default_factory=list)   # (No,Ni,Np,3) rgb tables
     _media: list = field(default_factory=list)
     _camera_medium: int = -1
     _env_image: "np.ndarray | None" = None          # (He,We,3) equal-area rgb
     _env_scale: float = 1.0
 
     # ---- materials -------------------------------------------------------
+
+    def add_measured_brdf(self, table_rgb: np.ndarray) -> int:
+        """Register a measured/tabulated BRDF (MeasuredBxDF analog): an
+        (No, Ni, Np, 3) RGB grid over (mu_o, mu_i, dphi) — see
+        scatter/measured.py tabulate()/load_table(). Returns the id for
+        add_material(kind="measured", measured=id). All tables in one scene
+        must share a resolution (they are stacked into one device array)."""
+        self._measured.append(np.asarray(table_rgb, np.float32))
+        return len(self._measured) - 1
 
     def add_texture_image(self, rgb_image: np.ndarray) -> int:
         """Register an RGB image texture (resampled to TEX_RES^2). Returns
@@ -259,11 +275,17 @@ class SceneBuilder:
         coat_roughness: float = 0.0,
         mix_materials: tuple = (-1, -1),
         mix_amount: float = 0.5,
+        beta_n: float | None = None,
+        measured: int = -1,
     ) -> int:
         """Material factory (base/material.h tag list). coateddiffuse /
         coatedconductor carry a dielectric coat (eta, coat_roughness) over the
         base lobe; mix stochastically selects mix_materials[0] with
-        probability mix_amount per intersection (MixMaterial semantics)."""
+        probability mix_amount per intersection (MixMaterial semantics).
+        For kind="hair" (HairMaterial, materials.h): roughness = beta_m
+        (longitudinal), beta_n = azimuthal roughness (defaults to beta_m),
+        eta should be ~1.55; reflectance sets sigma_a via the Chiang
+        inversion at shading time."""
         kinds = {
             "diffuse": MAT_DIFFUSE,
             "conductor": MAT_CONDUCTOR,
@@ -273,13 +295,19 @@ class SceneBuilder:
             "coateddiffuse": MAT_COATED_DIFFUSE,
             "coatedconductor": MAT_COATED_CONDUCTOR,
             "mix": MAT_MIX,
+            "hair": MAT_HAIR,
+            "measured": MAT_MEASURED,
         }
+        if kind == "measured":
+            # measured table id rides in the (unused) k slot, params[3]
+            k = float(measured)
+        second_rough = roughness if beta_n is None else beta_n
         self._materials.append(
             dict(
                 type=kinds[kind],
                 reflectance=np.asarray(reflectance, np.float32),
                 params=np.array(
-                    [roughness, roughness, eta, k, transmittance, float(texture),
+                    [roughness, second_rough, eta, k, transmittance, float(texture),
                      float(mix_materials[0]), float(mix_materials[1]),
                      mix_amount, coat_roughness],
                     np.float32,
@@ -596,6 +624,16 @@ class SceneBuilder:
         else:
             tex_coeffs = np.zeros((1, 1, 1, 4), np.float32)
 
+        # measured BRDF tables -> stacked spectral-coefficient grids
+        if self._measured:
+            from ..scatter import measured as measured_mod
+
+            measured_coeffs = np.stack(
+                [measured_mod.table_to_coeffs(t) for t in self._measured]
+            )
+        else:
+            measured_coeffs = np.zeros((1, 2, 2, 2, 4), np.float32)
+
         # environment map -> coefficient image + luminance sampling tables
         if self._env_image is not None:
             env_coeffs = rgb2spec.rgb_image_to_coeffs(self._env_image)
@@ -697,6 +735,7 @@ class SceneBuilder:
             n_lights=int(len(lights)),
             bounds=np.stack([lo, hi]),
             tex_coeffs=tex_coeffs,
+            measured_coeffs=measured_coeffs,
             tri_med_inside=tri_med_in,
             tri_med_outside=tri_med_out,
             **med,

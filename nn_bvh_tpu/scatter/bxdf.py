@@ -162,6 +162,12 @@ class MaterialCtx(NamedTuple):
     eta: Array        # (...,)
     k: Array
     coat_ax: Array = None  # (...,) coat GGX alpha (coated materials)
+    h: Array = None   # (...,) hair fiber offset in [-1,1]; None when the
+    #   scene has no hair material (keeps hair math off the hot path)
+    meas_tab: Array = None  # (T,No,Ni,Np,4) shared measured-BRDF tables;
+    #   None when the scene has no measured material
+    meas_id: Array = None   # (...,) i32 per-lane table id
+    lam: Array = None       # (..., S) wavelengths (measured uplift needs them)
 
 
 def material_records(scene: scene_mod.CompiledScene) -> Array:
@@ -186,6 +192,51 @@ def has_mix(scene: scene_mod.CompiledScene) -> bool:
         return bool(np.any(np.asarray(scene.mat_type) == scene_mod.MAT_MIX))
     except jax.errors.TracerArrayConversionError:
         return False
+
+
+def has_hair(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any HairMaterial? (gates the hair lobes in evaluate/sample)."""
+    import numpy as np
+
+    try:
+        return bool(np.any(np.asarray(scene.mat_type) == scene_mod.MAT_HAIR))
+    except jax.errors.TracerArrayConversionError:
+        return False
+
+
+def has_measured(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any MeasuredBxDF? (gates the table branch)."""
+    import numpy as np
+
+    try:
+        return bool(
+            np.any(np.asarray(scene.mat_type) == scene_mod.MAT_MEASURED))
+    except jax.errors.TracerArrayConversionError:
+        return False
+
+
+def select_ctx(mask: Array, ctx_new: MaterialCtx,
+               ctx_old: MaterialCtx) -> MaterialCtx:
+    """Per-lane select between two MaterialCtx (mask (...,) picks ctx_new).
+    Shared table refs (meas_tab) pass through unchanged — they are identical
+    scene constants on both sides."""
+    def sel(new, old):
+        if new is None or old is None:
+            return new if old is None else old
+        if new.ndim == mask.ndim + 1 and new.shape[:-1] == mask.shape:
+            return jnp.where(mask[..., None], new, old)
+        if new.shape == mask.shape:
+            return jnp.where(mask, new, old)
+        return new
+    return MaterialCtx(*[sel(n, o) for n, o in zip(ctx_new, ctx_old)])
+
+
+def zeros_ctx_like(ctx: MaterialCtx) -> MaterialCtx:
+    """A neutral ctx with the same pytree structure (mat_type = -1)."""
+    z = jax.tree.map(jnp.zeros_like, ctx)
+    return z._replace(mat_type=jnp.full_like(ctx.mat_type, -1),
+                      eta=jnp.ones_like(ctx.eta),
+                      meas_tab=ctx.meas_tab, lam=ctx.lam)
 
 
 def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
@@ -228,14 +279,38 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         coeffs = jnp.where(use, texel[..., 0:3], coeffs)
         scale = jnp.where(use, texel[..., 3:4], scale)
     refl = rgb2spec.eval_sigmoid_poly(coeffs, lam) * scale
+    mat_type = rec[..., 0].astype(jnp.int32)
+    ax = roughness_to_alpha(rec[..., 5])
+    ay = roughness_to_alpha(rec[..., 6])
+    h = None
+    if has_hair(scene):
+        # hair stores raw beta_m/beta_n in the roughness slots (no GGX alpha
+        # remap) and derives the fiber offset h from the cross-width v coord
+        is_hair = mat_type == scene_mod.MAT_HAIR
+        ax = jnp.where(is_hair, jnp.clip(rec[..., 5], 0.02, 1.0), ax)
+        ay = jnp.where(is_hair, jnp.clip(rec[..., 6], 0.02, 1.0), ay)
+        if uv is not None:
+            hv = 2.0 * (uv[..., 1] - jnp.floor(uv[..., 1])) - 1.0
+        else:
+            hv = jnp.zeros(rec.shape[:-1], jnp.float32)
+        h = jnp.clip(hv, -0.9995, 0.9995)
+    meas_tab = meas_id = lam_ctx = None
+    if has_measured(scene):
+        meas_tab = scene.measured_coeffs
+        meas_id = rec[..., 8].astype(jnp.int32)  # k slot carries the table id
+        lam_ctx = lam
     return MaterialCtx(
-        mat_type=rec[..., 0].astype(jnp.int32),
+        mat_type=mat_type,
         refl=jnp.clip(refl, 0.0, None),
-        ax=roughness_to_alpha(rec[..., 5]),
-        ay=roughness_to_alpha(rec[..., 6]),
+        ax=ax,
+        ay=ay,
         eta=rec[..., 7],
         k=rec[..., 8],
         coat_ax=roughness_to_alpha(rec[..., 14]),
+        h=h,
+        meas_tab=meas_tab,
+        meas_id=meas_id,
+        lam=lam_ctx,
     )
 
 
@@ -313,12 +388,25 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
         t == scene_mod.MAT_COATED_DIFFUSE,
         t == scene_mod.MAT_COATED_CONDUCTOR,
     ]
-    f = jnp.select([c[..., None] for c in conds],
-                   [f_diff, f_cond, f_diel_r, f_cdiff, f_ccond],
+    fs = [f_diff, f_cond, f_diel_r, f_cdiff, f_ccond]
+    pdfs = [pdf_diff, pdf_cond, pdf_diel_r, pdf_cdiff, pdf_ccond]
+    if ctx.h is not None:
+        from . import hair as hair_mod
+
+        sigma_a = hair_mod.sigma_a_from_reflectance(ctx.refl, ctx.ay)
+        conds.append(t == scene_mod.MAT_HAIR)
+        fs.append(hair_mod.f(wo, wi, ctx.h, ctx.eta, sigma_a, ctx.ax, ctx.ay))
+        pdfs.append(hair_mod.pdf(wo, wi, ctx.h, ctx.eta, sigma_a,
+                                 ctx.ax, ctx.ay))
+    if ctx.meas_tab is not None:
+        from . import measured as meas_mod
+
+        conds.append(t == scene_mod.MAT_MEASURED)
+        fs.append(meas_mod.f(ctx.meas_tab, ctx.meas_id, wo, wi, ctx.lam))
+        pdfs.append(meas_mod.pdf(wo, wi))
+    f = jnp.select([c[..., None] for c in conds], fs,
                    default=jnp.zeros_like(f_diff))
-    pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel_r, pdf_cdiff,
-                             pdf_ccond],
-                     default=jnp.zeros_like(pdf_diff))
+    pdf = jnp.select(conds, pdfs, default=jnp.zeros_like(pdf_diff))
     return f, pdf
 
 
@@ -490,39 +578,49 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
         t == scene_mod.MAT_COATED_DIFFUSE,
         t == scene_mod.MAT_COATED_CONDUCTOR,
     ]
-    conds1 = [c[..., None] for c in conds]
-    wi = jnp.select(conds1, [wi_diff, wi_cond, wi_diel, wi_thin, wi_dt,
-                             wi_cd, wi_cc], wi_diff)
-    f = jnp.select(conds1, [f_diff, f_cond, f_diel, f_thin, f_dt, f_cd, f_cc],
-                   jnp.zeros_like(f_diff))
-    pdf = jnp.select(conds, [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt,
-                             pdf_cd, pdf_cc], jnp.zeros_like(pdf_diff))
     zeros_b = jnp.zeros_like(smooth)
-    specular = jnp.select(
-        conds,
-        [zeros_b, smooth, smooth, jnp.ones_like(smooth), zeros_b,
-         zeros_b, zeros_b],
-        zeros_b,
-    )
-    transmission = jnp.select(
-        conds,
-        [zeros_b, zeros_b, trans_diel, ~thin_refl, trans_dt, zeros_b, zeros_b],
-        zeros_b,
-    )
+    ones_b = jnp.ones_like(smooth)
+    wis = [wi_diff, wi_cond, wi_diel, wi_thin, wi_dt, wi_cd, wi_cc]
+    fss = [f_diff, f_cond, f_diel, f_thin, f_dt, f_cd, f_cc]
+    pdfs = [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt, pdf_cd, pdf_cc]
+    specs = [zeros_b, smooth, smooth, ones_b, zeros_b, zeros_b, zeros_b]
+    transs = [zeros_b, zeros_b, trans_diel, ~thin_refl, trans_dt,
+              zeros_b, zeros_b]
+    valids = [ones_b, valid_cond, valid_diel, ones_b, ones_b,
+              valid_cd, valid_cc]
+    if ctx.h is not None:
+        from . import hair as hair_mod
+
+        sigma_a = hair_mod.sigma_a_from_reflectance(ctx.refl, ctx.ay)
+        wi_h, f_h, pdf_h = hair_mod.sample_f(wo, ctx.h, ctx.eta, sigma_a,
+                                             ctx.ax, ctx.ay, uc, u2)
+        conds.append(t == scene_mod.MAT_HAIR)
+        wis.append(wi_h)
+        fss.append(jnp.broadcast_to(f_h, f_diff.shape))
+        pdfs.append(pdf_h)
+        specs.append(zeros_b)
+        transs.append(zeros_b)
+        valids.append(pdf_h > 0)
+    if ctx.meas_tab is not None:
+        from . import measured as meas_mod
+
+        wi_m, f_m, pdf_m = meas_mod.sample_f(ctx.meas_tab, ctx.meas_id, wo,
+                                             ctx.lam, u2)
+        conds.append(t == scene_mod.MAT_MEASURED)
+        wis.append(wi_m)
+        fss.append(jnp.broadcast_to(f_m, f_diff.shape))
+        pdfs.append(pdf_m)
+        specs.append(zeros_b)
+        transs.append(zeros_b)
+        valids.append(pdf_m > 0)
+    conds1 = [c[..., None] for c in conds]
+    wi = jnp.select(conds1, wis, wi_diff)
+    f = jnp.select(conds1, fss, jnp.zeros_like(f_diff))
+    pdf = jnp.select(conds, pdfs, jnp.zeros_like(pdf_diff))
+    specular = jnp.select(conds, specs, zeros_b)
+    transmission = jnp.select(conds, transs, zeros_b)
     eta_out = jnp.where((t == scene_mod.MAT_DIELECTRIC) & trans_diel, eta_used, 1.0)
-    valid = jnp.select(
-        conds,
-        [
-            jnp.ones_like(smooth),
-            valid_cond,
-            valid_diel,
-            jnp.ones_like(smooth),
-            jnp.ones_like(smooth),
-            valid_cd,
-            valid_cc,
-        ],
-        zeros_b,
-    )
+    valid = jnp.select(conds, valids, zeros_b)
     valid = valid & (pdf > 0) & (t >= 0)
     return BSDFSample(wi=wi, f=f, pdf=pdf, specular=specular,
                       transmission=transmission, eta=eta_out, valid=valid)

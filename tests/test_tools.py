@@ -145,3 +145,51 @@ def test_imgtool_extended_subcommands(tmp_path):
                   "--temperature", "3000"])
     wb = im.read_pfm(f"{d}/wb.pfm")
     assert not np.allclose(wb, img)
+
+
+def test_imgtool_round2_subcommands(tmp_path, capsys):
+    """cat / makeemitters / denoise / convert --downsample/--gamma/
+    --colorspace (cmd/imgtool.cpp analogs added in round 2)."""
+    import numpy as np
+    from nn_bvh_tpu.cli import imgtool
+    from nn_bvh_tpu.utils import image as im
+
+    d = str(tmp_path)
+    rs = np.random.RandomState(1)
+    img = rs.rand(8, 8, 3).astype(np.float32)
+    im.write_pfm(f"{d}/a.pfm", img)
+
+    imgtool.main(["cat", f"{d}/a.pfm", "--csv"])
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 64
+
+    imgtool.main(["makeemitters", f"{d}/a.pfm", "--output", f"{d}/em.pbrt"])
+    txt = open(f"{d}/em.pbrt").read()
+    assert txt.count("AreaLightSource") == 64
+    assert "bilinearmesh" in txt
+
+    # denoise: noisy flat field converges toward its mean with AOV guides
+    clean = np.full((16, 16, 3), 0.5, np.float32)
+    noisy = clean + rs.randn(16, 16, 3).astype(np.float32) * 0.1
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (16, 16, 1))
+    im.write_pfm(f"{d}/noisy.pfm", noisy)
+    im.write_pfm(f"{d}/nrm.pfm", nrm)
+    im.write_pfm(f"{d}/alb.pfm", clean)
+    imgtool.main(["denoise", f"{d}/noisy.pfm", f"{d}/dn.pfm",
+                  "--normal", f"{d}/nrm.pfm", "--albedo", f"{d}/alb.pfm",
+                  "--radius", "3"])
+    dn = im.read_pfm(f"{d}/dn.pfm")
+    assert np.abs(dn - clean).mean() < np.abs(noisy - clean).mean() * 0.6
+
+    # convert: downsample halves resolution; gamma brightens; colorspace
+    # transform keeps luminance roughly constant
+    imgtool.main(["convert", f"{d}/a.pfm", f"{d}/half.pfm",
+                  "--downsample", "1"])
+    assert im.read_pfm(f"{d}/half.pfm").shape == (4, 4, 3)
+    imgtool.main(["convert", f"{d}/a.pfm", f"{d}/g.pfm", "--gamma", "2.2"])
+    assert im.read_pfm(f"{d}/g.pfm").mean() > img.mean()
+    imgtool.main(["convert", f"{d}/a.pfm", f"{d}/p3.pfm",
+                  "--colorspace", "dci-p3"])
+    p3 = im.read_pfm(f"{d}/p3.pfm")
+    assert np.isfinite(p3).all()
+    assert abs(p3.mean() - img.mean()) < 0.2
