@@ -1,0 +1,110 @@
+"""Traversal-backend dispatch: one place that picks how rays meet the BVH.
+
+The reference selects its aggregate once at startup (`cpu/render.cpp:47`
+CreateAggregate; `wavefront/integrator.cpp:162` OptiX vs CPUAggregate). This
+module is the TPU analog: given a compiled scene + flat BVH it returns an
+`Intersectors` bundle backed by
+
+- the VMEM-resident Pallas packet kernel (fastest; scenes ~<=100k tris),
+- the HBM-resident Pallas kernel with a VMEM block cache (any scene size,
+  ~3% slower on cache-friendly scenes), or
+- the XLA while-loop walk (CPU/test anchor — unusable on TPU, ~0.001 Mray/s).
+
+On TPU both Pallas paths are wrapped in the (dead-ray, octant, Morton)
+coherence re-sort, since packets share one traversal stack.
+
+JIT-boundary rule (learned the hard way): the packed tables can be hundreds
+of MB at crown scale. A jitted function that CLOSES OVER them embeds them as
+jaxpr constants, which the (remote) compiler then has to swallow — compile
+time explodes. So `Intersectors` exposes the device tables as a `.tables`
+pytree to be threaded through jit as an ARGUMENT, and `.bind(tables)`
+rebuilds the (closest, any_hit) callables from the traced values inside the
+jit. Calling `.closest/.any_hit` directly (eager, or on CPU tests) also
+works — it binds the concrete tables.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import traverse, pallas_traverse, hbm_traverse
+
+
+class BoundIntersectors(NamedTuple):
+    closest: Callable   # (o, d, t_max) -> Hit
+    any_hit: Callable   # (o, d, t_max) -> bool mask
+    backend: str
+
+
+class Intersectors:
+    """Backend choice + device tables. See module docstring for .bind()."""
+
+    def __init__(self, backend: str, tables, bounds, sort: bool):
+        self.backend = backend
+        self.tables = tables      # pytree of device arrays (jit-arg friendly)
+        self.bounds = bounds
+        self.sort = sort
+
+    def bind(self, tables=None) -> BoundIntersectors:
+        t = self.tables if tables is None else tables
+        if self.backend == "xla":
+            dbvh, tri_p = t
+            _closest = lambda *a: traverse.intersect_closest(dbvh, tri_p, *a)
+            _any = lambda *a: traverse.intersect_any(dbvh, tri_p, *a)
+        elif self.backend == "pallas_vmem":
+            node_tab, tri_tab = t
+            _closest = lambda *a: pallas_traverse._traverse_packed(
+                node_tab, tri_tab, *a, any_hit=False)
+            _any = lambda *a: pallas_traverse._traverse_packed(
+                node_tab, tri_tab, *a, any_hit=True).prim >= 0
+        else:  # pallas_hbm
+            node_tab, tri_tab = t
+            _closest = lambda *a: hbm_traverse._traverse_hbm(
+                node_tab, tri_tab, *a, any_hit=False)
+            _any = lambda *a: hbm_traverse._traverse_hbm(
+                node_tab, tri_tab, *a, any_hit=True).prim >= 0
+        if self.sort and self.backend != "xla":
+            _closest = pallas_traverse.make_sorted_isect(_closest, self.bounds)
+            _any = pallas_traverse.make_sorted_isect(_any, self.bounds)
+        return BoundIntersectors(closest=_closest, any_hit=_any,
+                                 backend=self.backend)
+
+    # convenience: direct (eager / closure) use — fine for CPU tests and
+    # small scenes, avoid inside an outer jit for big ones
+    @property
+    def closest(self):
+        return self.bind().closest
+
+    @property
+    def any_hit(self):
+        return self.bind().any_hit
+
+
+def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
+                      sort: bool = True) -> Intersectors:
+    """Pick the fastest traversal backend for this scene on this platform.
+
+    `use_pallas=None` auto-selects: Pallas on non-CPU backends (VMEM kernel
+    when the scene fits residency, HBM+cache kernel otherwise), XLA on CPU.
+    Host-side packing + the single device upload happen here. `scene`/`dbvh`
+    should be host (numpy) arrays — packing from device arrays would read
+    back over the (slow) transport.
+    """
+    n_tris = int(scene.tri_p.shape[0])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+
+    if not use_pallas:
+        tables = (jax.tree.map(jnp.asarray, dbvh), jnp.asarray(scene.tri_p))
+        return Intersectors("xla", tables, scene.bounds, sort=False)
+
+    if pallas_traverse.usable(dbvh, n_tris):
+        ps = pallas_traverse.PackedScene(dbvh, scene.tri_p)
+        return Intersectors("pallas_vmem", (ps.node_tab, ps.tri_tab),
+                            scene.bounds, sort=sort)
+    ps = hbm_traverse.PackedSceneHBM(dbvh, scene.tri_p)
+    return Intersectors("pallas_hbm", (ps.node_tab, ps.tri_tab),
+                        scene.bounds, sort=sort)

@@ -198,6 +198,8 @@ def _make_kernel(any_hit: bool):
         neg_z = (jnp.sum(dz) < 0.0).astype(jnp.int32)
 
         stack_ref[0] = 0
+        # all-dead packet (sorted waves cluster dead lanes): skip even the root
+        live = jnp.any(t0 >= 0.0) if any_hit else jnp.any(t0 > 0.0)
 
         def cond(carry):
             sp, done = carry
@@ -255,7 +257,9 @@ def _make_kernel(any_hit: bool):
                 done = jnp.all(prim_ref[...] >= 0)
             return (sp, done)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+        jax.lax.while_loop(
+            cond, body, (jnp.where(live, 0, -1), jnp.asarray(False))
+        )
 
     return kernel
 
@@ -332,8 +336,13 @@ def _expand_bits6(v: Array) -> Array:
     return v
 
 
-def ray_sort_key(o: Array, d: Array, blo: Array, bext: Array) -> Array:
-    """Sort key: 3-bit direction octant (major) | 18-bit origin Morton."""
+def ray_sort_key(o: Array, d: Array, blo: Array, bext: Array,
+                 t_max: Array | None = None) -> Array:
+    """Sort key: dead bit (major) | 3-bit direction octant | 18-bit Morton.
+
+    Dead rays (t_max < 0 lanes in the dense wave) cluster into all-dead
+    packets that exit at the root instead of diluting live packets — at
+    depth>=2 a large fraction of lanes is dead (escaped/RR-terminated)."""
     octant = (
         ((d[..., 0] < 0).astype(jnp.uint32) << 2)
         | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
@@ -342,7 +351,10 @@ def ray_sort_key(o: Array, d: Array, blo: Array, bext: Array) -> Array:
     q = jnp.clip((o - blo) / bext * 64.0, 0, 63).astype(jnp.uint32)
     m = ((_expand_bits6(q[..., 2]) << 2) | (_expand_bits6(q[..., 1]) << 1)
          | _expand_bits6(q[..., 0]))
-    return (octant << jnp.uint32(18)) | (m & jnp.uint32(0x3FFFF))
+    k = (octant << jnp.uint32(18)) | (m & jnp.uint32(0x3FFFF))
+    if t_max is not None:
+        k = k | ((t_max < 0).astype(jnp.uint32) << jnp.uint32(21))
+    return k
 
 
 def make_sorted_isect(fn, bounds):
@@ -351,7 +363,7 @@ def make_sorted_isect(fn, bounds):
     bext = jnp.maximum(jnp.asarray(bounds[1], jnp.float32) - blo, 1e-9)
 
     def wrapped(o, d, t_max):
-        k = ray_sort_key(o, d, blo, bext)
+        k = ray_sort_key(o, d, blo, bext, t_max)
         order = jnp.argsort(k)
         h = fn(o[order], d[order], t_max[order])
         inv = jnp.argsort(order)

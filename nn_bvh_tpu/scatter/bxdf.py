@@ -411,11 +411,16 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
 
 
 def _rough_dielectric_eval(ctx: MaterialCtx, wo: Array, wi: Array,
-                           smooth: Array):
+                           smooth: Array, mode: str = "radiance"):
     """f and pdf of the rough dielectric for an arbitrary (wo, wi) pair —
     reflection or transmission decided by the hemisphere relation
     (bxdfs.h DielectricBxDF::f / ::PDF, rough branch). Returns
-    (f (...,), pdf (...,)); zero on effectively-smooth lanes (delta)."""
+    (f (...,), pdf (...,)); zero on effectively-smooth lanes (delta).
+
+    mode: "radiance" applies the 1/etap^2 non-symmetry factor on
+    transmission; "importance" (photon/light transport) omits it, matching
+    the reference's TransportMode handling (bxdfs.h: `if (mode ==
+    TransportMode::Radiance) ft /= Sqr(etap)`)."""
     cos_o = vm.cos_theta(wo)
     cos_i = vm.cos_theta(wi)
     is_refl = cos_i * cos_o > 0
@@ -439,8 +444,9 @@ def _rough_dielectric_eval(ctx: MaterialCtx, wo: Array, wi: Array,
     denom = (vm.dot(wi, wm) + vm.dot(wo, wm) / etap) ** 2
     f_t = (d * (1.0 - fr) * g
            * jnp.abs(vm.dot(wi, wm) * vm.dot(wo, wm))
-           / jnp.maximum(jnp.abs(cos_i * cos_o) * denom, 1e-12)
-           / (etap * etap))
+           / jnp.maximum(jnp.abs(cos_i * cos_o) * denom, 1e-12))
+    if mode == "radiance":
+        f_t = f_t / (etap * etap)
     dwm_dwi = vm.absdot(wi, wm) / jnp.maximum(denom, 1e-12)
     pdf_t = pdf_wm * dwm_dwi * (1.0 - fr)
     ok = ~degenerate & ~back & ~smooth
@@ -460,8 +466,13 @@ def _coat_lobe_prob(fo: Array) -> Array:
     return jnp.clip(fo, 0.1, 0.9)
 
 
-def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
-    """Sample_f over lane-tagged materials. uc: (...,), u2: (...,2)."""
+def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
+           mode: str = "radiance") -> BSDFSample:
+    """Sample_f over lane-tagged materials. uc: (...,), u2: (...,2).
+
+    mode: "radiance" for camera paths (default), "importance" for photon /
+    light-subpath transport — drops the 1/eta^2 radiance-transport factor on
+    dielectric transmission (reference TransportMode, bxdfs.h)."""
     t = ctx.mat_type
     smooth = effectively_smooth(ctx.ax, ctx.ay)
 
@@ -497,8 +508,11 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
     n_local = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape)
     ok_t, eta_used, wt = vm.refract(wo, n_local, ctx.eta)
     f_refl = (frd / jnp.maximum(vm.abs_cos_theta(wi_mirror), 1e-9))[..., None]
-    # radiance transport: divide by eta^2 for transmission (bxdfs.h DielectricBxDF)
-    f_tran = ((1.0 - frd) / jnp.maximum(vm.abs_cos_theta(wt), 1e-9) / (eta_used * eta_used))[..., None]
+    # radiance transport: divide by eta^2 for transmission (bxdfs.h
+    # DielectricBxDF); importance (photon) transport omits the factor
+    f_tran = ((1.0 - frd) / jnp.maximum(vm.abs_cos_theta(wt), 1e-9))[..., None]
+    if mode == "radiance":
+        f_tran = f_tran / (eta_used * eta_used)[..., None]
     wi_diel_s = jnp.where(reflect_choice[..., None], wi_mirror, wt)
     f_diel_s = jnp.where(reflect_choice[..., None], f_refl, f_tran)
     pdf_diel_s = jnp.where(reflect_choice, frd, 1.0 - frd)
@@ -515,7 +529,7 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array) -> BSDFSample:
     ok_rt, eta_rough, wi_dt2 = vm.refract(wo, wm_d, ctx.eta)
     wi_diel_r = jnp.where(r_choice[..., None], wi_dr, wi_dt2)
     f_rd, pdf_rd = _rough_dielectric_eval(
-        ctx, wo, wi_diel_r, jnp.zeros_like(smooth))
+        ctx, wo, wi_diel_r, jnp.zeros_like(smooth), mode=mode)
     valid_diel_r = jnp.where(
         r_choice, vm.same_hemisphere(wo, wi_dr),
         ok_rt & ~vm.same_hemisphere(wo, wi_dt2))

@@ -282,22 +282,24 @@ def sample_f(wo: Array, h: Array, eta: Array, sigma_a: Array,
     sin_ti = -cos_theta * sin_top + sin_theta * cos_phi_m * cos_top
     cos_ti = vm.safe_sqrt(1.0 - sin_ti ** 2)
 
-    # sample Np: trimmed logistic for p < P_MAX, uniform for the rest
-    # (extra uniforms derived by remixing u2 — decorrelated bit mix)
-    u3 = jnp.remainder(u2[..., 0] * 7919.0 + u2[..., 1] * 104729.0, 1.0)
+    # sample Np: trimmed logistic for p < P_MAX, uniform for the rest.
+    # The azimuthal uniform is u_lob — the SampleDiscrete-remapped remainder
+    # of uc after lobe selection — exactly as the reference reuses the
+    # remapped uc for SampleTrimmedLogistic (bxdfs.cpp:408,449). Deriving it
+    # from u2 instead would correlate the azimuthal and longitudinal samples
+    # and make the sampled density disagree with pdf().
     dphi_log = _phi_p(0, gamma_o, gamma_t) * 0.0 + _sample_trimmed_logistic(
-        u3, s, -np.pi, np.pi)
+        u_lob, s, -np.pi, np.pi)
     phi_base = jnp.stack([_phi_p(p, gamma_o, gamma_t) for p in range(P_MAX)]
                          + [jnp.zeros_like(gamma_o)], -1)
     phi_p_sel = jnp.take_along_axis(phi_base, p_sel[..., None], -1)[..., 0]
     dphi = jnp.where(p_sel < P_MAX, phi_p_sel + dphi_log,
-                     2.0 * np.pi * u3 - np.pi)
+                     2.0 * np.pi * u_lob - np.pi)
     phi_i = phi_o + dphi
     wi = jnp.stack([sin_ti, cos_ti * jnp.cos(phi_i), cos_ti * jnp.sin(phi_i)],
                    -1)
     f_val = f(wo, wi, h, eta, sigma_a, beta_m, beta_n)
     pdf_val = pdf(wo, wi, h, eta, sigma_a, beta_m, beta_n)
-    del u_lob  # lobe-interval remap reserved for stratified variants
     return wi, f_val, pdf_val
 
 

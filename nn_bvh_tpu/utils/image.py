@@ -116,38 +116,12 @@ def write_exr(path: str, rgb: np.ndarray) -> None:
 
 
 def read_exr(path: str) -> np.ndarray:
-    """Reads EXRs written by write_exr (uncompressed FLOAT, BGR channel order)."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    assert struct.unpack("<I", buf[:4])[0] == 20000630, "not an EXR"
-    pos = 8
-    attrs = {}
-    while buf[pos] != 0:
-        e = buf.index(b"\x00", pos)
-        name = buf[pos:e]
-        pos = e + 1
-        e = buf.index(b"\x00", pos)
-        typ = buf[pos:e]
-        pos = e + 1
-        (size,) = struct.unpack("<I", buf[pos : pos + 4])
-        pos += 4
-        attrs[name] = (typ, buf[pos : pos + size])
-        pos += size
-    pos += 1
-    x0, y0, x1, y1 = struct.unpack("<iiii", attrs[b"dataWindow"][1])
-    w, h = x1 - x0 + 1, y1 - y0 + 1
-    assert attrs[b"compression"][1] == b"\x00", "only uncompressed EXR supported"
-    pos += 8 * h  # skip offset table
-    out = np.empty((h, w, 3), np.float32)
-    for _ in range(h):
-        y, size = struct.unpack("<ii", buf[pos : pos + 8])
-        pos += 8
-        row = np.frombuffer(buf[pos : pos + size], "<f4").reshape(3, w)
-        out[y - y0, :, 2] = row[0]
-        out[y - y0, :, 1] = row[1]
-        out[y - y0, :, 0] = row[2]
-        pos += size
-    return out
+    """Read any scanline EXR (NONE/RLE/ZIP/ZIPS/PIZ; HALF/FLOAT) as RGB —
+    full reader in utils/exr.py (OpenEXR codecs reimplemented, incl. the PIZ
+    wavelet/Huffman codec the golden TungstenRender.exr images use)."""
+    from . import exr as exr_mod
+
+    return exr_mod.read_rgb(path)
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ from ..core import vecmath as vm, sampling, spectrum, samplers, rng
 from ..geometry import scene as scene_mod, triangle
 from ..scatter import bxdf, lights, lightsamplers
 from .. import accel
-from ..accel import pallas_traverse
+from ..accel import dispatch
 from . import camera as camera_mod, film as film_mod
 from .integrator import IntegratorConfig, _shading_point
 from .lightpath import _camera_screen_area, camera_project, sample_le
@@ -107,7 +107,7 @@ def _light_dir_pdf(lrec: Array, ng_l: Array, w: Array) -> Array:
 
 
 def _random_walk(scene, isect_closest, mat_all, o, d, beta, pdf_dir, n_steps,
-                 active0, rand, prev_p0, on_env):
+                 active0, rand, prev_p0, on_env, mode="radiance"):
     """Shared camera/light subpath walk (GenerateCameraSubpath /
     GenerateLightSubpath, integrators.cpp): returns a list of Vertex.
 
@@ -140,7 +140,7 @@ def _random_walk(scene, isect_closest, mat_all, o, d, beta, pdf_dir, n_steps,
         # bounce
         uc = rand(21, depth)
         u2 = jnp.stack([rand(22, depth), rand(23, depth)], -1)
-        bs = bxdf.sample(ctx, vm.to_local(sp.ns, -d), uc, u2)
+        bs = bxdf.sample(ctx, vm.to_local(sp.ns, -d), uc, u2, mode=mode)
         wi_w = vm.from_local(sp.ns, bs.wi)
         cos_b = vm.absdot(wi_w, sp.ns)
         nxt = found & bs.valid
@@ -207,28 +207,15 @@ class _Rand:
 
 
 def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
-                    pixel_idx, sample_idx, ls_tables=None, packed=None):
+                    pixel_idx, sample_idx, ls_tables=None, isect=None):
     """One BDPT wave. Returns (L (R,4), lam, lam_pdf, splat_pix, splat_L)."""
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() != "cpu"
-                      and pallas_traverse.usable(dbvh, scene.tri_p.shape[0]))
-    if use_pallas:
-        if packed is None:
-            packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-        _closest = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=False)
-        _any = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
-        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
-        _any = pallas_traverse.make_sorted_isect(_any, scene.bounds)
-    else:
-        _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
-        _any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+    _closest, _any = isect.closest, isect.any_hit
     sg = jax.lax.stop_gradient
     isect_closest = lambda *a: jax.tree.map(sg, _closest(*map(sg, a)))
     isect_any = lambda *a: sg(_any(*map(sg, a)))
@@ -324,7 +311,8 @@ def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
         oL = vm.offset_ray_origin(p0, vm.face_forward(ng0, dL), dL)
         walk = _random_walk(
             scene, isect_closest, mat_all, oL, dL, beta_l, pdf_dir0, S - 1,
-            act0, _Rand(pixel_idx, sidx, sampler_cfg.seed + 7, lam), p0, None)
+            act0, _Rand(pixel_idx, sidx, sampler_cfg.seed + 7, lam), p0, None,
+            mode="importance")
         # reverse pdf of the light origin from its first walk vertex
         if walk:
             w1 = walk[0]
@@ -509,17 +497,21 @@ def render_bdpt(scene, dbvh, cam, spp: int = 16, sampler: str = "independent",
                                         width=cam.width)
     film = film_mod.make_film(cam.height, cam.width)
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
 
+    # big arrays as jit ARGS, not closures (see dispatch.py jit-boundary rule)
     @jax.jit
-    def wave(f, s):
+    def wave(f, s, scene, dbvh, ls_tables, tables):
         pix = jnp.arange(R, dtype=jnp.int32)
         L, lam, lam_pdf, sp_pix, sp_L, sp_lam, sp_lpdf = trace_bdpt_wave(
-            scene, dbvh, cam, sampler_cfg, cfg, pix, s, ls_tables)
+            scene, dbvh, cam, sampler_cfg, cfg, pix, s, ls_tables,
+            isect.bind(tables))
         f = film_mod.add_samples(f, pix, L, lam, lam_pdf, sequential=True)
         if sp_pix.shape[0]:
             f = film_mod.add_splats(f, sp_pix, sp_L, sp_lam, sp_lpdf)
         return f
 
     for s in range(spp):
-        film = wave(film, jnp.int32(s))
+        film = wave(film, jnp.int32(s), scene_d, dbvh_d, ls_d, isect.tables)
     return film_mod.develop(film, splat_scale=1.0 / spp)

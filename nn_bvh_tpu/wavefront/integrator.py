@@ -28,7 +28,7 @@ from ..core import vecmath as vm, sampling, spectrum, samplers, rng
 from ..geometry import scene as scene_mod, triangle
 from ..scatter import bxdf, lights, lightsamplers
 from .. import accel
-from ..accel import pallas_traverse
+from ..accel import dispatch, pallas_traverse
 from . import camera as camera_mod, film as film_mod
 
 Array = jax.Array
@@ -122,35 +122,17 @@ def trace_wave(
     pixel_idx: Array,
     sample_idx: Array,
     ls_tables: lightsamplers.LightSamplerTables | None = None,
-    packed: "pallas_traverse.PackedScene | None" = None,
+    isect: "dispatch.Intersectors | None" = None,
 ):
     """Trace one path per entry of pixel_idx -> (L, lam, lam_pdf, film_w)."""
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
     # host-numpy scenes become jnp constants (numpy can't index by tracers)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = (
-            packed is not None
-            or (jax.default_backend() != "cpu"
-                and pallas_traverse.usable(dbvh, scene.tri_p.shape[0]))
-        )
-    if use_pallas:
-        if packed is None:
-            packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-        _closest = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=False)
-        _any = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
-        # coherence re-sort: packets share a traversal stack, so bounce/shadow
-        # batches are sorted by (octant, origin morton) around the kernel
-        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
-        _any = pallas_traverse.make_sorted_isect(_any, scene.bounds)
-    else:
-        _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
-        _any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+    _closest, _any = isect.closest, isect.any_hit
 
     # visibility is gradient-detached (SURVEY.md §7.1 diff/: gradients flow
     # through shading, not geometry) — and the traversal while_loop has no
@@ -381,23 +363,16 @@ def trace_ao(
     cfg: IntegratorConfig,
     pixel_idx: Array,
     sample_idx: Array,
-    packed: "pallas_traverse.PackedScene | None" = None,
+    isect: "dispatch.Intersectors | None" = None,
 ):
     """Ambient occlusion (AOIntegrator, cpu/integrators.h:296): cosine-sampled
     visibility within ao_max_dist. Returns (L, lam, lam_pdf)."""
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas,
+                                           sort=False)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
-    if packed is None and (cfg.use_pallas or (
-            cfg.use_pallas is None and jax.default_backend() != "cpu")):
-        packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-    if packed is not None:
-        isect_closest = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=False)
-        isect_any = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
-    else:
-        isect_closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
-        isect_any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+    isect_closest, isect_any = isect.closest, isect.any_hit
 
     R = pixel_idx.shape[0]
     sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
@@ -437,6 +412,7 @@ def render_gbuffer(
     albedo(3), hit mask(1). Albedo is the material base color sampled at
     approximate RGB primary wavelengths (the reference estimates rho with 16
     fixed samples, integrators.cpp:1125; first-bounce AOVs need no MC)."""
+    isect = dispatch.make_intersectors(scene, dbvh, sort=False)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
     H, W = cam.height, cam.width
@@ -444,15 +420,7 @@ def render_gbuffer(
     pixel_idx = jnp.arange(R, dtype=jnp.int32)
     u_half = jnp.full((R, 2), 0.5, jnp.float32)
     o, d = camera_mod.generate_rays(cam, pixel_idx, u_half, u_half)
-    if jax.default_backend() != "cpu" and pallas_traverse.usable(
-            dbvh, scene.tri_p.shape[0]):
-        packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-        hit = pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, o, d, jnp.full((R,), 1e30),
-            any_hit=False)
-    else:
-        hit = accel.intersect_closest(dbvh, scene.tri_p, o, d,
-                                      jnp.full((R,), 1e30))
+    hit = isect.closest(o, d, jnp.full((R,), 1e30))
     found = hit.prim >= 0
     sp = _shading_point(scene, hit, o, d)
     lam_rgb = jnp.broadcast_to(
@@ -488,38 +456,42 @@ def make_wave_fn(
     # build host-side tables first, then upload everything exactly once
     # (device->host readback over the TPU tunnel is extremely slow)
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu" and pallas_traverse.usable(
-            dbvh, scene.tri_p.shape[0]
-        )
-    packed = pallas_traverse.PackedScene(dbvh, scene.tri_p) if use_pallas else None
-    scene, dbvh, ls_tables = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
-    cfg = cfg._replace(use_pallas=use_pallas)
+    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
 
-    def wave(f: film_mod.Film, sample_idx):
+    # every large array crosses the jit boundary as an ARGUMENT: closing over
+    # device arrays embeds them as jaxpr constants, and at crown scale
+    # (hundreds of MB of tables + tri_shade) that makes compilation explode
+    def wave_impl(f: film_mod.Film, sample_idx, scene, dbvh, ls_tables,
+                  tables):
+        bi = isect.bind(tables)
         R = cam.width * cam.height
         pixel_idx = jnp.arange(R, dtype=jnp.int32)
         if cfg.kind == "ao":
             L, lam, lam_pdf, fw = trace_ao(
-                scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx, packed
+                scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx, bi
             )
         elif cfg.kind in ("volpath", "simplevolpath"):
             from . import volpath as volpath_mod
 
             L, lam, lam_pdf, fw = volpath_mod.trace_wave_vol(
                 scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx,
-                ls_tables, packed,
+                ls_tables, bi,
             )
         else:
             L, lam, lam_pdf, fw = trace_wave(
                 scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx,
-                ls_tables, packed,
+                ls_tables, bi,
             )
         return film_mod.add_samples(f, pixel_idx, L, lam, lam_pdf,
                                     filter_weight=fw, sequential=True)
 
-    return jax.jit(wave, donate_argnums=(0,))
+    jw = jax.jit(wave_impl, donate_argnums=(0,))
+
+    def wave(f: film_mod.Film, sample_idx):
+        return jw(f, sample_idx, scene_d, dbvh_d, ls_d, isect.tables)
+
+    return wave
 
 
 def render(

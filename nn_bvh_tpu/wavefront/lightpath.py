@@ -26,7 +26,7 @@ from ..core import vecmath as vm, sampling, spectrum, samplers, rng
 from ..geometry import scene as scene_mod, triangle
 from ..scatter import bxdf, lights, lightsamplers
 from .. import accel
-from ..accel import pallas_traverse
+from ..accel import dispatch
 from . import camera as camera_mod, film as film_mod
 from .integrator import IntegratorConfig, _shading_point
 
@@ -122,30 +122,17 @@ def trace_light_wave(
     n_paths: int,
     sample_idx: Array,
     ls_tables: lightsamplers.LightSamplerTables | None = None,
-    packed: "pallas_traverse.PackedScene | None" = None,
+    isect: "dispatch.Intersectors | None" = None,
 ):
     """One light-tracing wave of n_paths subpaths. Returns
     (pixel_idx (R*(D+1),), splat L, lam, lam_pdf) for film.add_splats."""
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() != "cpu"
-                      and pallas_traverse.usable(dbvh, scene.tri_p.shape[0]))
-    if use_pallas:
-        if packed is None:
-            packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-        _closest = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=False)
-        _any = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
-        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
-        _any = pallas_traverse.make_sorted_isect(_any, scene.bounds)
-    else:
-        _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
-        _any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+    _closest, _any = isect.closest, isect.any_hit
     sg = jax.lax.stop_gradient
     isect_closest = lambda *a: jax.tree.map(sg, _closest(*map(sg, a)))
     isect_any = lambda *a: sg(_any(*map(sg, a)))
@@ -216,7 +203,9 @@ def trace_light_wave(
         # continue the light path
         uc = _rand(8, depth)
         u2 = jnp.stack([_rand(9, depth), _rand(10, depth)], -1)
-        bs = bxdf.sample(ctx, vm.to_local(sp.ns, wo), uc, u2)
+        # light subpaths carry importance (TransportMode::Importance)
+        bs = bxdf.sample(ctx, vm.to_local(sp.ns, wo), uc, u2,
+                         mode="importance")
         wi_world = vm.from_local(sp.ns, bs.wi)
         cos_b = vm.absdot(wi_world, sp.ns)
         beta = jnp.where(
@@ -256,15 +245,19 @@ def render_lightpath(
                                         width=cam.width)
     film = film_mod.make_film(cam.height, cam.width)
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
 
+    # big arrays as jit ARGS, not closures (see dispatch.py jit-boundary rule)
     @jax.jit
-    def wave(f, s):
+    def wave(f, s, scene, dbvh, ls_tables, tables):
         pix, L, lam, lam_pdf = trace_light_wave(
-            scene, dbvh, cam, sampler_cfg, cfg, n_paths, s, ls_tables)
+            scene, dbvh, cam, sampler_cfg, cfg, n_paths, s, ls_tables,
+            isect.bind(tables))
         return film_mod.add_splats(f, pix, L, lam, lam_pdf)
 
     for s in range(spp):
-        film = wave(film, jnp.int32(s))
+        film = wave(film, jnp.int32(s), scene_d, dbvh_d, ls_d, isect.tables)
     # measurement normalization: each wave spreads n_paths paths over the
     # whole film; scale splats by n_pixels / (n_paths * spp)
     scale = R / (n_paths * spp)

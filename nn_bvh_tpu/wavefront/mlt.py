@@ -49,8 +49,11 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
     # bootstrap must pin b (the image brightness) well: >= 32k samples
     n_bootstrap_batches = max(n_bootstrap_batches, 32768 // C + 1)
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
-    scene = jax.tree.map(jnp.asarray, scene)
-    dbvh = jax.tree.map(jnp.asarray, dbvh)
+    from ..accel import dispatch
+    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    scene, dbvh, ls_tables = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
+    # big arrays as jit ARGS, not closures (see dispatch.py jit-boundary rule)
+    big = (scene, dbvh, ls_tables, isect.tables)
     lane = jnp.arange(C, dtype=jnp.int32)
     dims = jnp.arange(D, dtype=jnp.int32)
 
@@ -63,8 +66,9 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
         return rng.hash_float(lane, jnp.asarray(step, jnp.uint32),
                               jnp.uint32(seed), jnp.uint32(salt))
 
-    def trace_u(u: Array):
+    def trace_u(u: Array, big):
         """u (C,D) -> (pixel, xyz contribution (C,3), luminance y)."""
+        scene, dbvh, ls_tables, tables = big
         px = u[:, 0] * W
         py = u[:, 1] * H
         ix = jnp.clip(px.astype(jnp.int32), 0, W - 1)
@@ -73,7 +77,8 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
         table = u.at[:, 0].set(px - ix).at[:, 1].set(py - iy)
         scfg = samplers.SamplerConfig(samplers.TABLE, seed, spp, W, table)
         L, lam, lam_pdf, _ = trace_wave(scene, dbvh, cam, scfg, cfg,
-                                        pix, lane, ls_tables)
+                                        pix, lane, ls_tables,
+                                        isect.bind(tables))
         xyz = spectrum.spectrum_to_xyz(L, lam, lam_pdf)
         xyz = jnp.where(jnp.isfinite(xyz), xyz, 0.0)
         return pix, xyz, jnp.maximum(xyz[:, 1], 0.0)
@@ -83,7 +88,7 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
     best_u, best_y, best_pix, best_xyz = None, None, None, None
     for i in range(n_bootstrap_batches):
         u0 = fresh(jnp.int32(1000 + i), 11)
-        pix0, xyz0, y0 = jax.jit(trace_u)(u0)
+        pix0, xyz0, y0 = jax.jit(trace_u)(u0, big)
         b_sum = b_sum + float(jnp.mean(y0))
         if best_u is None:
             best_u, best_y, best_pix, best_xyz = u0, y0, pix0, xyz0
@@ -108,7 +113,7 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
 
     log_ratio = -jnp.log(sigma_max / sigma_min)
 
-    def step(carry, k):
+    def step(big, carry, k):
         u, y, pix, xyz, splat = carry
         # proposal: Kelemen small-step exponential perturbation | large step
         u_l = fresh(k, 17)
@@ -118,7 +123,7 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
         u_s = u_s - jnp.floor(u_s)  # wrap to [0,1)
         large = chain_rand(k, 29) < p_large
         u_p = jnp.where(large[:, None], u_l, u_s)
-        pix_p, xyz_p, y_p = trace_u(u_p)
+        pix_p, xyz_p, y_p = trace_u(u_p, big)
         a = jnp.clip(y_p / y, 0.0, 1.0)
         # expected-value splats (Veach 10.4.1 / pbrt MLT film splats)
         splat = splat.at[pix_p].add(
@@ -134,12 +139,13 @@ def render_mlt(scene, dbvh, cam, spp: int = 16, seed: int = 0,
     splat0 = jnp.zeros((R, 3), jnp.float32)
 
     @jax.jit
-    def run(u, y, pix, xyz):
+    def run(u, y, pix, xyz, big):
         (u, y, pix, xyz, splat), _ = jax.lax.scan(
-            step, (u, y, pix, xyz, splat0), jnp.arange(1, K + 1))
+            lambda c, k: step(big, c, k), (u, y, pix, xyz, splat0),
+            jnp.arange(1, K + 1))
         return splat
 
-    splat = run(u, y, pix, xyz)
+    splat = run(u, y, pix, xyz, big)
     # I_p = b * R * E_pi[C_p(u)/y(u)] over the K*C mutation samples
     film = film_mod.make_film(H, W)._replace(splat_xyz=splat)
     return film_mod.develop(film, splat_scale=b * R / (K * C))

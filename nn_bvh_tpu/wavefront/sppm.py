@@ -43,7 +43,7 @@ from ..core.colorspace import xyz_to_linear_srgb
 from ..geometry import scene as scene_mod
 from ..scatter import bxdf, lights, lightsamplers
 from .. import accel
-from ..accel import pallas_traverse
+from ..accel import dispatch
 from . import camera as camera_mod
 from .integrator import IntegratorConfig, _shading_point
 from .lightpath import sample_le
@@ -102,28 +102,23 @@ def sppm_iteration(
     alpha: float = 2.0 / 3.0,
     k_cap: int = 16,
     max_photon_depth: int | None = None,
-    packed: "pallas_traverse.PackedScene | None" = None,
+    isect: "dispatch.Intersectors | None" = None,
 ):
     """One SPPM iteration (camera pass + photon pass + density estimate)."""
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
-    if packed is not None:
-        _closest = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=False)
-        _any = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=True).prim >= 0
-        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
-        _any = pallas_traverse.make_sorted_isect(_any, scene.bounds)
-    else:
-        _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
-        _any = lambda *a: accel.intersect_any(dbvh, scene.tri_p, *a)
+    _closest, _any = isect.closest, isect.any_hit
     sg = jax.lax.stop_gradient
     isect_closest = lambda *a: jax.tree.map(sg, _closest(*map(sg, a)))
     isect_any = lambda *a: sg(_any(*map(sg, a)))
 
     R = cam.width * cam.height
     P = n_photons
-    D_ph = max_photon_depth or cfg.max_depth + 2
+    # photon path length matches the reference's depth semantics (photon loop
+    # runs depth < maxDepth): same transport as Path at equal max_depth
+    D_ph = max_photon_depth or cfg.max_depth
     S = spectrum.N_SPECTRUM_SAMPLES
     it = jnp.asarray(iteration, jnp.uint32)
     mat_all = bxdf.material_records(scene)
@@ -259,7 +254,10 @@ def sppm_iteration(
         uc = rand_ph(26, depth)
         u2 = jnp.stack([rand_ph(27, depth), rand_ph(28, depth)], -1)
         wo = -pdir
-        bs = bxdf.sample(ctx, vm.to_local(sp.ns, wo), uc, u2)
+        # photons carry importance: no 1/eta^2 on dielectric transmission
+        # (reference traces photons with TransportMode::Importance)
+        bs = bxdf.sample(ctx, vm.to_local(sp.ns, wo), uc, u2,
+                         mode="importance")
         wi_w = vm.from_local(sp.ns, bs.wi)
         cos_b = vm.absdot(wi_w, sp.ns)
         bnew = pbeta * bs.f * (cos_b / jnp.maximum(bs.pdf, 1e-20))[..., None]
@@ -310,8 +308,14 @@ def sppm_iteration(
                        jnp.int32)  # (27, 3)
     ncells = vci[:, None, :] + offs[None, :, :]             # (R, 27, 3)
     nh = _cell_hash(ncells[..., 0], ncells[..., 1], ncells[..., 2])
+    # dedup hash-colliding neighbor cells: two distinct cells with the same
+    # 18-bit key would gather the same sorted photon range twice and
+    # double-count flux the distance test cannot catch
+    dup = jnp.any((nh[:, :, None] == nh[:, None, :])
+                  & np.tril(np.ones((27, 27), bool), -1)[None], axis=-1)
     starts = jnp.searchsorted(skeys, nh.reshape(-1), side="left").reshape(R, 27)
     ends = jnp.searchsorted(skeys, nh.reshape(-1), side="right").reshape(R, 27)
+    ends = jnp.where(dup, starts, ends)  # duplicate cell -> empty range
     n_drop = jnp.sum(jnp.maximum(ends - starts - k_cap, 0))
 
     wo_loc = vm.to_local(vp_ns, vp_wo)
@@ -379,20 +383,17 @@ def render_sppm(
         ext = np.asarray(scene.bounds[1]) - np.asarray(scene.bounds[0])
         initial_radius = 0.015 * float(np.linalg.norm(ext))
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() != "cpu"
-                      and pallas_traverse.usable(dbvh, scene.tri_p.shape[0]))
-    packed = pallas_traverse.PackedScene(dbvh, scene.tri_p) if use_pallas else None
-    scene, dbvh, ls_tables = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
+    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
 
+    # big arrays as jit ARGS, not closures (see dispatch.py jit-boundary rule)
     @jax.jit
-    def step(st, i):
+    def step(st, i, scene, dbvh, ls_tables, tables):
         return sppm_iteration(scene, dbvh, cam, cfg, st, i, P, ls_tables,
                               seed=seed, alpha=alpha, k_cap=k_cap,
-                              packed=packed)
+                              isect=isect.bind(tables))
 
     st = make_state(R, initial_radius)
     for i in range(n_iterations):
-        st = step(st, jnp.int32(i))
+        st = step(st, jnp.int32(i), scene_d, dbvh_d, ls_d, isect.tables)
     return develop(st, n_iterations, P, cam.height, cam.width)

@@ -37,7 +37,7 @@ from ..core import vecmath as vm, sampling, spectrum, samplers, rng
 from ..geometry import scene as scene_mod
 from ..scatter import bxdf, lights, lightsamplers, media
 from .. import accel
-from ..accel import pallas_traverse
+from ..accel import dispatch
 from . import camera as camera_mod
 from . import integrator as integrator_mod
 from .integrator import (
@@ -65,28 +65,16 @@ def trace_wave_vol(
     pixel_idx: Array,
     sample_idx: Array,
     ls_tables: lightsamplers.LightSamplerTables | None = None,
-    packed: "pallas_traverse.PackedScene | None" = None,
+    isect: "dispatch.Intersectors | None" = None,
 ):
     """VolPath: one volumetric path per pixel_idx entry -> (L, lam, pdf, w)."""
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = (
-            packed is not None
-            or (jax.default_backend() != "cpu"
-                and pallas_traverse.usable(dbvh, scene.tri_p.shape[0]))
-        )
-    if use_pallas:
-        if packed is None:
-            packed = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-        _closest = lambda *a: pallas_traverse._traverse_packed(
-            packed.node_tab, packed.tri_tab, *a, any_hit=False)
-        _closest = pallas_traverse.make_sorted_isect(_closest, scene.bounds)
-    else:
-        _closest = lambda *a: accel.intersect_closest(dbvh, scene.tri_p, *a)
+    _closest = isect.closest
     sg = jax.lax.stop_gradient
     isect_closest = lambda *a: jax.tree.map(sg, _closest(*map(sg, a)))
 

@@ -62,8 +62,13 @@ def test_sppm_radius_shrinks_and_stats():
     from nn_bvh_tpu.scatter import lightsamplers
     ls = lightsamplers.build(sc, cfg.light_sampler)
     st0 = sppm.make_state(RES * RES, 0.5)
-    st1 = sppm.sppm_iteration(sc, dbvh, cam, cfg, st0, jnp.int32(0), 512, ls)
-    st2 = sppm.sppm_iteration(sc, dbvh, cam, cfg, st1, jnp.int32(1), 512, ls)
+    # explicit photon depth: this open scene needs two bounces for photons to
+    # land back on the floor (default D_ph now matches cfg.max_depth exactly,
+    # reference depth semantics)
+    st1 = sppm.sppm_iteration(sc, dbvh, cam, cfg, st0, jnp.int32(0), 512, ls,
+                              max_photon_depth=4)
+    st2 = sppm.sppm_iteration(sc, dbvh, cam, cfg, st1, jnp.int32(1), 512, ls,
+                              max_photon_depth=4)
     r1, r2 = np.asarray(st1.r2), np.asarray(st2.r2)
     assert np.all(r2 <= r1 + 1e-7)
     assert np.any(r2 < 0.25 - 1e-6), "no pixel ever received a photon"
