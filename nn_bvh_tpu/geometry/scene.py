@@ -154,6 +154,17 @@ class CompiledScene(NamedTuple):
     tri_med_inside: Array = None   # (N,) i32
     tri_med_outside: Array = None  # (N,) i32
 
+    # static feature gates, computed at build time. They must be STATIC
+    # (not traced): the scene is threaded through jit as an ARGUMENT, so
+    # inspecting mat_type inside a traced function is impossible — these
+    # flags decide which material branches get traced at all (the analog of
+    # pbrt's per-material-type wavefront kernel specialization,
+    # wavefront/surfscatter.cpp:39).
+    feat_mix: bool = False
+    feat_hair: bool = False
+    feat_measured: bool = False
+    feat_portal: bool = False
+
     def replace(self, **kw):
         return self._replace(**kw)
 
@@ -180,7 +191,9 @@ def make_tri_shade(scene: "CompiledScene") -> np.ndarray:
 # static counts must not trace under jit/shard_map
 from ..utils.pytree import register_static as _register_static  # noqa: E402
 
-_register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium"))
+_register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium",
+                                 "feat_mix", "feat_hair", "feat_measured",
+                                 "feat_portal"))
 
 
 @dataclass
@@ -738,6 +751,10 @@ class SceneBuilder:
             measured_coeffs=measured_coeffs,
             tri_med_inside=tri_med_in,
             tri_med_outside=tri_med_out,
+            feat_mix=bool(np.any(mat_type == MAT_MIX)),
+            feat_hair=bool(np.any(mat_type == MAT_HAIR)),
+            feat_measured=bool(np.any(mat_type == MAT_MEASURED)),
+            feat_portal=bool(np.any(light_type == LIGHT_PORTAL_ENV)),
             **med,
             **env,
         )

@@ -184,35 +184,34 @@ def material_records(scene: scene_mod.CompiledScene) -> Array:
     )
 
 
-def has_mix(scene: scene_mod.CompiledScene) -> bool:
-    """Static: any MixMaterial? (gates the resolve re-gather)."""
+def _feat(scene: scene_mod.CompiledScene, flag: str, mat: int) -> bool:
+    """Static material-feature gate. The scene rides through jit as an
+    argument, so under jit only the STATIC feat_* flags (aux_data on the
+    CompiledScene pytree) are inspectable; outside jit, fall back to the
+    mat_type array for scenes built before the flags existed."""
     import numpy as np
 
+    if getattr(scene, flag, False):
+        return True
     try:
-        return bool(np.any(np.asarray(scene.mat_type) == scene_mod.MAT_MIX))
+        return bool(np.any(np.asarray(scene.mat_type) == mat))
     except jax.errors.TracerArrayConversionError:
         return False
+
+
+def has_mix(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any MixMaterial? (gates the resolve re-gather)."""
+    return _feat(scene, "feat_mix", scene_mod.MAT_MIX)
 
 
 def has_hair(scene: scene_mod.CompiledScene) -> bool:
     """Static: any HairMaterial? (gates the hair lobes in evaluate/sample)."""
-    import numpy as np
-
-    try:
-        return bool(np.any(np.asarray(scene.mat_type) == scene_mod.MAT_HAIR))
-    except jax.errors.TracerArrayConversionError:
-        return False
+    return _feat(scene, "feat_hair", scene_mod.MAT_HAIR)
 
 
 def has_measured(scene: scene_mod.CompiledScene) -> bool:
     """Static: any MeasuredBxDF? (gates the table branch)."""
-    import numpy as np
-
-    try:
-        return bool(
-            np.any(np.asarray(scene.mat_type) == scene_mod.MAT_MEASURED))
-    except jax.errors.TracerArrayConversionError:
-        return False
+    return _feat(scene, "feat_measured", scene_mod.MAT_MEASURED)
 
 
 def select_ctx(mask: Array, ctx_new: MaterialCtx,

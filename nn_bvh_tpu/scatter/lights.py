@@ -258,10 +258,11 @@ def portal_pdf_dir(scene: scene_mod.CompiledScene, light_all: Array,
 
 def has_portal(scene: scene_mod.CompiledScene) -> bool:
     """Static: any portal light? Must be decided at trace time (it gates a
-    per-light Python loop). When the scene arrives as tracers (e.g. donated
-    through shard_map), the light types are unknowable — treat as no-portal;
-    the render()/make_wave_fn entry points see the concrete scene and bake
-    the portal MIS path in."""
+    per-light Python loop). Under jit the scene arrives as tracers, so the
+    STATIC feat_portal flag (pytree aux_data set at build time) is the
+    authority; the array fallback covers pre-flag scenes outside jit."""
+    if getattr(scene, "feat_portal", False):
+        return True
     try:
         return bool(np.any(np.asarray(scene.light_type)
                            == scene_mod.LIGHT_PORTAL_ENV))
