@@ -277,10 +277,11 @@ def parse_file(path: str) -> ParseResult:
         if mat < 0 and gs.area_light is None:
             mat = make_material("diffuse", {})
 
-        def emit_mesh(verts, faces, normals=None, uvs=None):
+        def emit_mesh(verts, faces, normals=None, uvs=None, sphere_r=None):
             rec = dict(vertices=verts, faces=faces, normals=normals, uvs=uvs,
                        transform=gs.ctm.copy(), material=mat,
-                       emission=emission, escale=escale, two_sided=two_sided)
+                       emission=emission, escale=escale, two_sided=two_sided,
+                       sphere_r=sphere_r)
             if target is not None:
                 target.append(rec)
             else:
@@ -324,7 +325,8 @@ def parse_file(path: str) -> ParseResult:
                         faces.append([a, b, d])
                     if i < 15:
                         faces.append([b, c, d])
-            emit_mesh(verts.astype(np.float32), np.asarray(faces), normals.astype(np.float32))
+            emit_mesh(verts.astype(np.float32), np.asarray(faces),
+                      normals.astype(np.float32), sphere_r=r)
         elif stype == "disk":
             r = float(pget(params, "radius", 1.0))
             h = float(pget(params, "height", 0.0))
@@ -338,6 +340,22 @@ def parse_file(path: str) -> ParseResult:
 
     def _instantiate(rec: dict, extra: np.ndarray):
         m = extra @ rec["transform"]
+        if rec.get("sphere_r") is not None and rec["emission"] is not None:
+            # emissive sphere shape: ONE analytic sphere area light per
+            # instance (reference: Sphere shape + DiffuseAreaLight,
+            # cone-sampled via Sphere::Sample, shapes.h:280), geometry
+            # tessellated for visibility only
+            center = xf.apply_points(m, np.zeros((1, 3), np.float32))[0]
+            scl = float(np.linalg.norm(m[:3, 0]))
+            lid = builder.add_sphere_area_light(
+                center, rec["sphere_r"] * scl, rec["emission"],
+                rec["escale"], two_sided=rec["two_sided"], n_theta=16)
+            builder.add_mesh(
+                rec["vertices"], rec["faces"], rec["material"],
+                normals=rec["normals"], uvs=rec["uvs"], transform=m,
+                light_id=lid,
+            )
+            return
         builder.add_mesh(
             rec["vertices"], rec["faces"], rec["material"],
             normals=rec["normals"], uvs=rec["uvs"], transform=m,

@@ -47,6 +47,12 @@ LIGHT_SPOT = 5
 LIGHT_PROJECTION = 6
 LIGHT_GONIOMETRIC = 7
 LIGHT_PORTAL_ENV = 8
+# One analytic sphere area light per emissive sphere SHAPE (the reference's
+# DiffuseAreaLight over Sphere, lights.h + shapes.h:280 Sphere::Sample cone
+# sampling). The sphere geometry is still tessellated for visibility, but
+# light sampling/pdf use the analytic center+radius — one light per shape,
+# not one per tessellation triangle (pbrt killeroo-simple: "AreaLights 1").
+LIGHT_SPHERE_AREA = 9
 
 # light_params layout by type (see scatter.lights.sample_li):
 #   AREA_TRI:    [0]=tri_index [1]=two_sided
@@ -487,13 +493,17 @@ class SceneBuilder:
         two_sided: bool = False,
         med_inside: int = -1,
         med_outside: int = -1,
+        light_id: int | None = None,
     ) -> None:
         """Add an indexed triangle mesh. If emission_rgb is set, every triangle
-        becomes a DiffuseAreaLight (the reference also creates one area light
-        per shape, lights.h DiffuseAreaLight). med_inside/med_outside attach a
-        MediumInterface (primitive.h): the medium on the side the geometric
-        normal points away from / toward; use material=-1 (MAT_INTERFACE) for
-        a pure medium boundary."""
+        becomes a DiffuseAreaLight (matching the reference, where a
+        trianglemesh arealight makes one light per Triangle shape).
+        If light_id is set instead, ALL triangles map to that pre-registered
+        light record (used by analytic shape lights, e.g. the sphere area
+        light). med_inside/med_outside attach a MediumInterface
+        (primitive.h): the medium on the side the geometric normal points
+        away from / toward; use material=-1 (MAT_INTERFACE) for a pure
+        medium boundary."""
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
         if transform is not None:
@@ -516,17 +526,34 @@ class SceneBuilder:
         self._tri_uv.append(uv)
         self._tri_mat.append(np.full(len(faces), material, np.int32))
         self._tri_med.append((int(med_inside), int(med_outside)))
-        if emission_rgb is not None:
+        if light_id is not None:
+            self._tri_emit.append(int(light_id))
+        elif emission_rgb is not None:
             self._tri_emit.append(
                 (np.asarray(emission_rgb, np.float32), float(emission_scale), two_sided)
             )
         else:
             self._tri_emit.append(None)
 
-    def add_sphere(self, center, radius, material, n_theta=32, n_phi=64, **kw):
+    def add_sphere(self, center, radius, material, n_theta=32, n_phi=64,
+                   emission_rgb=None, emission_scale: float = 1.0,
+                   two_sided: bool = False, **kw):
         """Tessellated sphere (the reference's analytic Sphere shape,
         shapes.h:107, is represented as a fine mesh; analytic quadrics can come
-        later as a separate prim type)."""
+        later as a separate prim type).
+
+        If emissive, registers ONE analytic sphere area light
+        (LIGHT_SPHERE_AREA) covering the whole shape — cone solid-angle
+        sampling per the reference's Sphere::Sample (shapes.h:280) — instead
+        of one light per tessellation triangle. params: [radius, twosided,
+        sag] where sag is the max chord depth of the tessellation, used to
+        shorten shadow rays so the inscribed tessellated surface doesn't
+        occlude its own analytic sample points."""
+        if emission_rgb is not None:
+            light_id = self.add_sphere_area_light(
+                center, radius, emission_rgb, emission_scale,
+                two_sided=two_sided, n_theta=n_theta)
+            kw = dict(kw, light_id=light_id)
         th = np.linspace(0, np.pi, n_theta + 1)
         ph = np.linspace(0, 2 * np.pi, n_phi + 1)
         tt, pp = np.meshgrid(th, ph, indexing="ij")
@@ -547,6 +574,27 @@ class SceneBuilder:
                     faces.append([b, c, d])
         self.add_mesh(np.asarray(verts, np.float32), np.asarray(faces), material,
                       normals=normals.astype(np.float32), **kw)
+
+    def add_sphere_area_light(self, center, radius, emission_rgb,
+                              emission_scale: float = 1.0,
+                              two_sided: bool = False,
+                              n_theta: int = 16) -> int:
+        """Register ONE analytic sphere area light record (LIGHT_SPHERE_AREA).
+        The caller still adds tessellated geometry with this light_id so
+        rays can hit it; n_theta sets the tessellation's inscribed radius
+        (params[2]) used to bound shadow rays so the light's own inscribed
+        mesh can never self-occlude its analytic sample points."""
+        r_ins = float(radius) * float(np.cos(np.pi / max(n_theta, 3))) * 0.999
+        params = np.zeros(N_LIGHT_PARAMS, np.float32)
+        params[0] = float(radius)
+        params[1] = 1.0 if two_sided else 0.0
+        params[2] = r_ins
+        self._lights.append(
+            dict(type=LIGHT_SPHERE_AREA,
+                 pos=np.asarray(center, np.float32),
+                 rgb=np.asarray(emission_rgb, np.float32),
+                 scale=float(emission_scale), params=params))
+        return len(self._lights) - 1
 
     def add_quad(self, p00, p10, p11, p01, material, **kw):
         verts = np.asarray([p00, p10, p11, p01], np.float32)
@@ -580,7 +628,10 @@ class SceneBuilder:
         off = 0
         for chunk, emit in zip(self._tri_p, self._tri_emit):
             cnt = len(chunk)
-            if emit is not None:
+            if isinstance(emit, int):
+                # whole mesh maps to one pre-registered shape light
+                tri_light[off:off + cnt] = emit
+            elif emit is not None:
                 rgb, sc, two = emit
                 for k in range(cnt):
                     tri_light[off + k] = len(lights)

@@ -190,6 +190,55 @@ def sample_li(
     pdf_a = jnp.where(degen, pdf_area_fallback, pdf_sa)
     li_area = jnp.where(front_ok[..., None], emit, 0.0)
 
+    # ---- analytic sphere area light (Sphere::Sample cone, shapes.h:280) ---
+    # The light's own geometry is a tessellated (inscribed) mesh: all its
+    # surface points lie at radius in [r_ins, r]. Shadow tmax is therefore
+    # set so the mesh is GEOMETRICALLY unreachable: from outside, the near
+    # analytic intersection with the radius-r sphere (mesh radius <= r, so
+    # no mesh point precedes it); from inside, the chord exit of the
+    # inscribed sphere (mesh radius >= r_ins). No bias knob, no sag.
+    radius = rec[..., 8]
+    r_ins = rec[..., 10]  # inscribed tessellation radius (params[2])
+    dc = lpos - p
+    dc2 = jnp.maximum(vm.length_squared(dc), 1e-12)
+    dc_len = jnp.sqrt(dc2)
+    sin2_max = jnp.clip(radius * radius / dc2, 0.0, 1.0)
+    cos_max = vm.safe_sqrt(1.0 - sin2_max)
+    outside = dc2 > radius * radius * 1.0001
+    # cone sample around dc (reference SampleUniformCone + Frame)
+    cos_t = (1.0 - u2[..., 0]) + u2[..., 0] * cos_max
+    sin_t = vm.safe_sqrt(1.0 - cos_t * cos_t)
+    phi_s = 2.0 * jnp.pi * u2[..., 1]
+    w_axis = dc / dc_len[..., None]
+    tx, ty = vm.coordinate_system(w_axis)
+    wi_sph = (sin_t * jnp.cos(phi_s))[..., None] * tx \
+        + (sin_t * jnp.sin(phi_s))[..., None] * ty + cos_t[..., None] * w_axis
+    # distance to the near analytic intersection along wi
+    ds = dc_len * cos_t - vm.safe_sqrt(
+        radius * radius - dc2 * (1.0 - cos_t * cos_t))
+    pdf_sph_out = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+    # inside the sphere: uniform area sample, pdf converted to solid angle
+    dir_in = sampling.sample_uniform_sphere(u2)
+    sp_in = lpos + radius[..., None] * dir_in
+    to_in = sp_in - p
+    d2_in = jnp.maximum(vm.length_squared(to_in), 1e-12)
+    dist_in = jnp.sqrt(d2_in)
+    wi_in = to_in / dist_in[..., None]
+    cos_in = vm.absdot(dir_in, wi_in)
+    area_sph = 4.0 * jnp.pi * radius * radius
+    pdf_sph_in = d2_in / jnp.maximum(cos_in * area_sph, 1e-12)
+    wi_sphere = jnp.where(outside[..., None], wi_sph, wi_in)
+    pdf_sphere = jnp.where(outside, pdf_sph_out, pdf_sph_in)
+    # inside: chord exit of the inscribed sphere along wi_in (p may sit in
+    # the thin shell [r_ins, r]; grazing chords that miss the inscribed
+    # sphere are dropped — O(sin^3(pi/n)) energy, far below test tolerance)
+    b_in = vm.dot(dc, wi_in)
+    disc_in = b_in * b_in + r_ins * r_ins - dc2
+    t_exit_in = b_in + vm.safe_sqrt(disc_in)
+    dist_sphere = jnp.where(outside, ds * (1.0 - 1e-3),
+                            jnp.where(disc_in > 0, t_exit_in, 0.0))
+    li_sphere = emit
+
     is_point = ltype == scene_mod.LIGHT_POINT
     is_dist = ltype == scene_mod.LIGHT_DISTANT
     is_inf = ltype == scene_mod.LIGHT_UNIFORM_INFINITE
@@ -199,26 +248,58 @@ def sample_li(
     is_proj = ltype == scene_mod.LIGHT_PROJECTION
     is_gonio = ltype == scene_mod.LIGHT_GONIOMETRIC
     is_portal = ltype == scene_mod.LIGHT_PORTAL_ENV
+    is_sphere = ltype == scene_mod.LIGHT_SPHERE_AREA
 
     conds = [is_point, is_dist, is_inf, is_area, is_img,
-             is_spot, is_proj, is_gonio, is_portal]
+             is_spot, is_proj, is_gonio, is_portal, is_sphere]
     wi = jnp.select([c[..., None] for c in conds],
                     [wi_point, wi_dist, wi_inf, wi_area, wi_img,
-                     wi_point, wi_point, wi_point, wi_portal], wi_point)
+                     wi_point, wi_point, wi_point, wi_portal, wi_sphere],
+                    wi_point)
     li = jnp.select([c[..., None] for c in conds],
                     [li_point, emit, emit, li_area, li_img,
-                     li_spot, li_proj, li_gonio, li_portal],
+                     li_spot, li_proj, li_gonio, li_portal, li_sphere],
                     jnp.zeros_like(li_point))
     inf_f = jnp.full(p.shape[:-1], jnp.inf, jnp.float32)
     dist = jnp.select(conds, [dist_point, inf_f, inf_f, dist_a, inf_f,
-                              dist_point, dist_point, dist_point, inf_f], inf_f)
+                              dist_point, dist_point, dist_point, inf_f,
+                              dist_sphere], inf_f)
     one = jnp.ones(p.shape[:-1], jnp.float32)
     pdf = jnp.select(conds, [one, one, pdf_inf, pdf_a, pdf_img,
-                             one, one, one, pdf_portal], one)
+                             one, one, one, pdf_portal, pdf_sphere], one)
     is_delta = is_point | is_dist | is_spot | is_proj | is_gonio
     valid = (light_id >= 0) & (pdf > 0) & jnp.any(li > 0, axis=-1)
     valid = valid & jnp.where(is_area, front_ok, True)
+    valid = valid & jnp.where(is_sphere, dist > 0, True)
     return LightLiSample(wi=wi, dist=dist, li=li, pdf=pdf, is_delta=is_delta, valid=valid)
+
+
+def sphere_pdf_li(lrec: Array, ref_p: Array,
+                  hit_p: Array | None = None,
+                  hit_ng: Array | None = None) -> Array:
+    """Solid-angle pdf that sphere-light sampling would give for a direction
+    from ref_p hitting the sphere (Sphere::PDF, shapes.h:372) — the MIS
+    counterpart at emissive hits. Outside: uniform-cone pdf (the direction
+    hit the sphere, so it is inside the cone by construction). Inside:
+    uniform-area pdf converted to solid angle at the ACTUAL hit
+    (d^2 / (|cos| A)), needing the hit point/normal."""
+    center = lrec[..., 1:4]
+    radius = lrec[..., 8]
+    dc2 = jnp.maximum(vm.length_squared(center - ref_p), 1e-12)
+    sin2_max = jnp.clip(radius * radius / dc2, 0.0, 1.0)
+    cos_max = vm.safe_sqrt(1.0 - sin2_max)
+    outside = dc2 > radius * radius * 1.0001
+    pdf_out = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+    area_sph = 4.0 * jnp.pi * radius * radius
+    if hit_p is not None:
+        to_h = hit_p - ref_p
+        d2h = jnp.maximum(vm.length_squared(to_h), 1e-12)
+        wi_h = to_h * jax.lax.rsqrt(d2h)[..., None]
+        cos_h = vm.absdot(hit_ng, wi_h)
+        pdf_in = d2h / jnp.maximum(cos_h * area_sph, 1e-12)
+    else:
+        pdf_in = 4.0 / jnp.maximum(area_sph, 1e-9)
+    return jnp.where(outside, pdf_out, pdf_in)
 
 
 def portal_pdf_dir(scene: scene_mod.CompiledScene, light_all: Array,

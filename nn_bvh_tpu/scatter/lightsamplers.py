@@ -75,6 +75,10 @@ def compute_light_powers(scene: scene_mod.CompiledScene) -> np.ndarray:
             area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
             two = 2.0 if params[i, 1] > 0 else 1.0
             power[i] = np.pi * area * scale[i] * two * rgbish
+        elif t == scene_mod.LIGHT_SPHERE_AREA:
+            r = float(params[i, 0])
+            two = 2.0 if params[i, 1] > 0 else 1.0
+            power[i] = np.pi * (4 * np.pi * r * r) * scale[i] * two * rgbish
     return np.maximum(power.astype(np.float32), 0.0)
 
 
@@ -155,6 +159,12 @@ def _light_bounds(scene, powers):
             w = n / ln if ln > 1e-12 else np.array([0, 0, 1.0])
             two = params[i, 1] > 0
             rows.append((i, lo, hi, w, 0.0, np.pi / 2, powers[i], two))
+        elif t == scene_mod.LIGHT_SPHERE_AREA:
+            r = float(params[i, 0])
+            lo, hi = pos[i] - r, pos[i] + r
+            # emits in every direction: omni normal cone (theta_o = pi)
+            rows.append((i, lo, hi, np.array([0, 0, 1.0]), np.pi,
+                         np.pi / 2, powers[i], params[i, 1] > 0))
         elif t == scene_mod.LIGHT_SPOT:
             w = params[i, 0:3]
             cos_total = params[i, 3]

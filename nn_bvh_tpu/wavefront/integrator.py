@@ -230,9 +230,18 @@ def trace_wave(
             has_light = found & (sp.light >= 0)
             le = lights.area_light_l_rec(lrec, has_light, sp.ng, wo, lam)
             if cfg.mis and cfg.sample_lights:
-                pdf_l = lights.area_pdf_li_from_verts(
-                    sp.v0, sp.v1, sp.v2, prev_p
-                ) * lightsamplers.pmf_ctx(ls_tables, prev_p, sp.light)
+                # pdf of the light-sampling strategy for this hit direction:
+                # per-triangle solid-angle pdf for mesh lights, analytic cone
+                # pdf for sphere shape lights (Sphere::PDF, shapes.h:372)
+                pdf_shape = lights.area_pdf_li_from_verts(
+                    sp.v0, sp.v1, sp.v2, prev_p)
+                is_sph = lrec[..., 0].astype(jnp.int32) \
+                    == scene_mod.LIGHT_SPHERE_AREA
+                pdf_shape = jnp.where(
+                    is_sph, lights.sphere_pdf_li(lrec, prev_p, sp.p, sp.ng),
+                    pdf_shape)
+                pdf_l = pdf_shape * lightsamplers.pmf_ctx(
+                    ls_tables, prev_p, sp.light)
                 w_mis = jnp.where(
                     specular_prev,
                     1.0,

@@ -102,15 +102,35 @@ def sample_le(scene, light_all, light_id, lam, u_pos, u_dir):
     d_pt = sampling.sample_uniform_sphere(u_dir)
     beta_pt = emit / sampling.UNIFORM_SPHERE_PDF
 
+    # sphere area light: uniform area point + cosine direction off the
+    # outward normal (Sphere::SampleLe semantics)
+    radius = rec[..., 8]
+    n_sph = sampling.sample_uniform_sphere(u_pos)
+    p_sph = lpos + radius[..., None] * n_sph
+    d_sph_local = sampling.sample_cosine_hemisphere(u_dir)
+    d_sph = vm.from_local(n_sph, d_sph_local)
+    cos_sph = jnp.maximum(vm.dot(n_sph, d_sph), 0.0)
+    area_sph = jnp.maximum(4.0 * jnp.pi * radius * radius, 1e-12)
+    pdf_dir_sph = sampling.cosine_hemisphere_pdf(cos_sph)
+    beta_sph = emit * (cos_sph * area_sph
+                       / jnp.maximum(pdf_dir_sph, 1e-20))[..., None]
+
     is_area = ltype == scene_mod.LIGHT_AREA_TRI
     is_point = ltype == scene_mod.LIGHT_POINT
-    p = jnp.where(is_area[..., None], p_area, lpos)
-    ng_out = jnp.where(is_area[..., None], ng_eff,
-                       jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p.shape))
-    d = jnp.where(is_area[..., None], d_area, d_pt)
-    beta0 = jnp.where(is_area[..., None], beta_area, beta_pt)
-    ok = is_area | is_point
-    return p, ng_out, d, jnp.where(ok[..., None], beta0, 0.0), is_area
+    is_sphere = ltype == scene_mod.LIGHT_SPHERE_AREA
+    p = jnp.where(is_area[..., None], p_area,
+                  jnp.where(is_sphere[..., None], p_sph, lpos))
+    ng_out = jnp.where(
+        is_area[..., None], ng_eff,
+        jnp.where(is_sphere[..., None], n_sph,
+                  jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p.shape)))
+    d = jnp.where(is_area[..., None], d_area,
+                  jnp.where(is_sphere[..., None], d_sph, d_pt))
+    beta0 = jnp.where(is_area[..., None], beta_area,
+                      jnp.where(is_sphere[..., None], beta_sph, beta_pt))
+    ok = is_area | is_point | is_sphere
+    return p, ng_out, d, jnp.where(ok[..., None], beta0, 0.0), \
+        is_area | is_sphere
 
 
 def trace_light_wave(

@@ -401,8 +401,11 @@ def trace_wave_vol(
             lrec = light_all[jnp.maximum(sp.light, 0)]
             has_light = found & (sp.light >= 0)
             le = lights.area_light_l_rec(lrec, has_light, sp.ng, -d, lam)
-            p_le = lights.area_pdf_li_from_verts(sp.v0, sp.v1, sp.v2, prev_p) \
-                * lightsamplers.pmf_ctx(ls_tables, prev_p, sp.light)
+            p_shape = lights.area_pdf_li_from_verts(sp.v0, sp.v1, sp.v2, prev_p)
+            p_shape = jnp.where(
+                lrec[..., 0].astype(jnp.int32) == scene_mod.LIGHT_SPHERE_AREA,
+                lights.sphere_pdf_li(lrec, prev_p, sp.p, sp.ng), p_shape)
+            p_le = p_shape * lightsamplers.pmf_ctx(ls_tables, prev_p, sp.light)
             denom_mis2 = _avg(r_u + r_l * p_le[..., None])
             denom2 = jnp.where(specular_prev, _avg(r_u), denom_mis2)
             L = L + jnp.where(

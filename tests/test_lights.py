@@ -158,3 +158,78 @@ def test_bvh_sampler_render_matches_power():
         imgs[ls] = float(np.mean(np.asarray(integrator.render(
             sc, dbvh, cam, spp=24, sampler="independent", cfg=cfg))))
     assert abs(imgs["bvh"] / imgs["power"] - 1.0) < 0.05, imgs
+
+
+def test_sphere_area_light_analytic_irradiance():
+    """Emissive sphere: ONE light record per shape (reference
+    'AreaLights 1' on killeroo-simple) and cone sampling whose Monte-Carlo
+    estimate of irradiance at a point matches the analytic
+    E = L * pi * r^2 / d^2 (sphere fully visible above the horizon)."""
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse", reflectance=(1.0, 1.0, 1.0))
+    em = b.add_material("diffuse", reflectance=(0, 0, 0))
+    b.add_quad((-50, 0, -50), (50, 0, -50), (50, 0, 50), (-50, 0, 50), m)
+    b.add_sphere((0, 10.0, 0), 1.0, em, n_theta=12, n_phi=24,
+                 emission_rgb=(1, 1, 1), emission_scale=1.0)
+    sc = b.build()
+    assert sc.n_lights == 1, sc.n_lights  # one shape = one light
+    assert int(np.asarray(sc.light_type)[0]) == scene_mod.LIGHT_SPHERE_AREA
+
+    # MC estimate of E = int Li cos dw at the origin via sample_li
+    la = jnp.asarray(lights.light_records(sc))
+    n = 4096
+    rs = np.random.RandomState(0)
+    u2 = jnp.asarray(rs.rand(n, 2), jnp.float32)
+    p = jnp.zeros((n, 3), jnp.float32)
+    lam = jnp.full((n, 4), 550.0)
+    ls = lights.sample_li(sc, la, jnp.zeros(n, jnp.int32), p, lam, u2)
+    cos_up = jnp.clip(ls.wi[..., 1], 0.0, None)
+    est = np.asarray(jnp.mean(
+        jnp.where(ls.valid[..., None], ls.li, 0.0).mean(-1)
+        * cos_up / jnp.maximum(ls.pdf, 1e-9)))
+    # emission_scale=1 with normalized chroma: Le at 550nm from the record
+    le = float(np.asarray(lights.record_spectrum(la[0], lam[0])).mean())
+    want = le * np.pi * 1.0 / 10.0**2
+    assert abs(est - want) / want < 0.03, (est, want)
+    # shadow distances lie on the near side of the analytic sphere, from
+    # d - r (axis) up to sqrt(d^2 - r^2) (silhouette), minus the sag margin
+    dists = np.asarray(ls.dist)
+    assert dists.max() < np.sqrt(10.0**2 - 1.0) + 1e-3, dists.max()
+    assert dists.min() > 10.0 - 1.0 - 0.2, dists.min()
+
+    # MIS pdf: cone pdf for directions toward the sphere
+    pdfs = np.asarray(lights.sphere_pdf_li(la[0], np.zeros(3, np.float32)))
+    cos_max = np.sqrt(1 - (1.0 / 10.0) ** 2)
+    assert abs(pdfs - 1.0 / (2 * np.pi * (1 - cos_max))) < 1e-3
+
+
+def test_sphere_light_render_vs_tri_lights():
+    """A render lit by the analytic sphere light matches one lit by the
+    same sphere expanded to per-triangle lights (ground truth), and the
+    variance is much lower at equal spp."""
+    def build(analytic):
+        b = scene_mod.SceneBuilder()
+        m = b.add_material("diffuse", reflectance=(0.7, 0.7, 0.7))
+        em = b.add_material("diffuse", reflectance=(0, 0, 0))
+        b.add_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20), (-20, 0, 20), m)
+        if analytic:
+            b.add_sphere((0, 6, 0), 1.5, em, n_theta=12, n_phi=24,
+                         emission_rgb=(1, 1, 1), emission_scale=8.0)
+        else:
+            # bypass the analytic light: per-triangle lights like round 1
+            b.add_sphere((0, 6, 0), 1.5, em, n_theta=12, n_phi=24)
+            b._tri_emit[-1] = (np.ones(3, np.float32), 8.0, False)
+        sc = b.build()
+        sc, dbvh, _ = accel.build_scene_bvh(sc)
+        cam = camera_mod.make_perspective(
+            xf.look_at((0, 4, -12), (0, 1, 0), (0, 1, 0)), fov=45.0,
+            width=24, height=24)
+        cfg = integrator.IntegratorConfig(max_depth=2, use_pallas=False)
+        return np.asarray(integrator.render(sc, dbvh, cam, spp=48,
+                                            sampler="halton", cfg=cfg))
+
+    img_sphere = build(True)
+    img_tris = build(False)
+    # means agree (both unbiased estimators of the same scene)
+    ms, mt = img_sphere.mean(), img_tris.mean()
+    assert abs(ms - mt) / mt < 0.08, (ms, mt)
