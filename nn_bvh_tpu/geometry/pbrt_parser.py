@@ -245,11 +245,46 @@ def parse_file(path: str) -> ParseResult:
             k = float(np.mean(k))
         if isinstance(k, str):
             k = 3.9
+        def spec_param(pname):
+            """Spectrum-typed parameter -> named-spectrum name, .spd path, or
+            (lam, val) pairs; None if absent/untyped (reference paramdict
+            GetOneSpectrum + GetNamedSpectrum resolution)."""
+            from ..core import named_spectra
+
+            ent = params.get(pname)
+            if ent is None:
+                return None
+            v = ent["values"]
+            if v and isinstance(v[0], str):
+                s = v[0]
+                if s.endswith(".spd"):
+                    return os.path.join(ts.base, s)
+                if named_spectra.has(s):
+                    return s
+                warn(f"unknown named spectrum '{s}'")
+                return None
+            if ent["type"] == "spectrum" and len(v) >= 4:
+                a = np.asarray(v, np.float64).reshape(-1, 2)
+                return (a[:, 0], a[:, 1])
+            return None
+
         if kind in ("conductor", "coatedconductor"):
+            # reference default conductor is copper (materials.cpp
+            # ConductorMaterial::Create: metal-Cu-eta / metal-Cu-k) unless a
+            # reflectance parameterization is given
+            eta_spec, k_spec = spec_param("eta"), spec_param("k")
+            if ("eta" not in params and "k" not in params
+                    and "reflectance" not in params):
+                eta_spec, k_spec = "metal-Cu-eta", "metal-Cu-k"
+            if "reflectance" not in params:
+                # pbrt's ConductorBxDF has no reflectance tint when eta/k
+                # parameterized — color comes from the Fresnel term alone
+                refl = np.ones(3, np.float32)
             eta_c = eta if "eta" in params else 0.2
             crough = pget(params, "interface.roughness", 0.0)
             return builder.add_material(kind, reflectance=refl, roughness=float(rough),
                                         eta=float(eta_c), k=float(k), texture=tex_id,
+                                        eta_spectrum=eta_spec, k_spectrum=k_spec,
                                         coat_roughness=float(crough)
                                         if not isinstance(crough, str) else 0.0)
         if kind == "coateddiffuse":

@@ -62,7 +62,8 @@ LIGHT_SPHERE_AREA = 9
 #   GONIOMETRIC: [5]=tex_id (equal-area octahedral intensity map)
 #   PORTAL_ENV:  [0:12]=portal quad corners p0 p1 p2 p3 (world space)
 
-N_MAT_PARAMS = 10
+N_MAT_PARAMS = 12  # [rough_u, rough_v, eta, k, transmittance, texture,
+#  mix_a, mix_b, mix_amount, coat_roughness, eta_tab, k_tab]
 N_LIGHT_PARAMS = 12
 
 # texture kinds (base/texture.h tag list analog; evaluated per lane)
@@ -101,7 +102,8 @@ class CompiledScene(NamedTuple):
     mat_coeffs: Array   # (M, 3) sigmoid-poly coefficients of base color
     mat_scale: Array    # (M,)
     mat_params: Array   # (M, N_MAT_PARAMS) [rough_u, rough_v, eta, k,
-    #   transmittance, texture, mix_a, mix_b, mix_amount, coat_roughness]
+    #   transmittance, texture, mix_a, mix_b, mix_amount, coat_roughness,
+    #   eta_tab, k_tab] — eta_tab/k_tab index spec_tables (-1 = scalar)
 
     # lights (tagged SoA table)
     light_type: Array   # (L,) i32
@@ -160,6 +162,13 @@ class CompiledScene(NamedTuple):
     tri_med_inside: Array = None   # (N,) i32
     tri_med_outside: Array = None  # (N,) i32
 
+    # named-spectrum tables (S, 471): each row a spectrum densified onto the
+    # 1-nm grid over [360, 830] nm (core/named_spectra.dense) — the device
+    # analog of pbrt's PiecewiseLinearSpectrum named spectra
+    # (util/spectrum.cpp GetNamedSpectrum); consumed by spectral conductor
+    # Fresnel via one gather + lerp per sampled wavelength.
+    spec_tables: Array = None
+
     # static feature gates, computed at build time. They must be STATIC
     # (not traced): the scene is threaded through jit as an ARGUMENT, so
     # inspecting mat_type inside a traced function is impossible — these
@@ -170,6 +179,9 @@ class CompiledScene(NamedTuple):
     feat_hair: bool = False
     feat_measured: bool = False
     feat_portal: bool = False
+    # any material with a named-spectrum eta/k table (gates the spectral
+    # Fresnel gathers in bxdf.gather_material)
+    feat_spectral: bool = False
 
     def replace(self, **kw):
         return self._replace(**kw)
@@ -199,7 +211,7 @@ from ..utils.pytree import register_static as _register_static  # noqa: E402
 
 _register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium",
                                  "feat_mix", "feat_hair", "feat_measured",
-                                 "feat_portal"))
+                                 "feat_portal", "feat_spectral"))
 
 
 @dataclass
@@ -222,6 +234,8 @@ class SceneBuilder:
     _textures: list = field(default_factory=list)   # (TEX_RES,TEX_RES,3) rgb
     _measured: list = field(default_factory=list)   # (No,Ni,Np,3) rgb tables
     _media: list = field(default_factory=list)
+    _spec_tables: list = field(default_factory=list)  # (471,) dense spectra
+    _spec_names: dict = field(default_factory=dict)   # name -> table index
     _camera_medium: int = -1
     _env_image: "np.ndarray | None" = None          # (He,We,3) equal-area rgb
     _env_scale: float = 1.0
@@ -296,6 +310,8 @@ class SceneBuilder:
         mix_amount: float = 0.5,
         beta_n: float | None = None,
         measured: int = -1,
+        eta_spectrum=None,
+        k_spectrum=None,
     ) -> int:
         """Material factory (base/material.h tag list). coateddiffuse /
         coatedconductor carry a dielectric coat (eta, coat_roughness) over the
@@ -320,6 +336,16 @@ class SceneBuilder:
         if kind == "measured":
             # measured table id rides in the (unused) k slot, params[3]
             k = float(measured)
+        # named/measured spectral eta & k (conductors; util/spectrum.cpp
+        # GetNamedSpectrum + scene "spectrum eta" ["metal-Au-eta"]): densify
+        # onto the 1-nm grid and index via params[10]/params[11]
+        eta_tab = k_tab = -1.0
+        if eta_spectrum is not None:
+            eta_tab = float(self.add_spectrum_table(eta_spectrum))
+            eta = float(np.median(self._spec_tables[int(eta_tab)]))
+        if k_spectrum is not None:
+            k_tab = float(self.add_spectrum_table(k_spectrum))
+            k = float(np.median(self._spec_tables[int(k_tab)]))
         second_rough = roughness if beta_n is None else beta_n
         self._materials.append(
             dict(
@@ -328,12 +354,31 @@ class SceneBuilder:
                 params=np.array(
                     [roughness, second_rough, eta, k, transmittance, float(texture),
                      float(mix_materials[0]), float(mix_materials[1]),
-                     mix_amount, coat_roughness],
+                     mix_amount, coat_roughness, eta_tab, k_tab],
                     np.float32,
                 ),
             )
         )
         return len(self._materials) - 1
+
+    def add_spectrum_table(self, spec) -> int:
+        """Register a named spectrum (str name or .spd path), (lam, val)
+        pair, or dense (471,) array; returns its index in spec_tables.
+        Deduplicates by name."""
+        from ..core import named_spectra
+
+        key = spec if isinstance(spec, str) else None
+        if key is not None and key in self._spec_names:
+            return self._spec_names[key]
+        dense = (np.asarray(spec, np.float32)
+                 if isinstance(spec, np.ndarray) and spec.ndim == 1
+                 and spec.shape[0] == named_spectra.DENSE_N
+                 else named_spectra.dense(spec))
+        self._spec_tables.append(dense.astype(np.float32))
+        idx = len(self._spec_tables) - 1
+        if key is not None:
+            self._spec_names[key] = idx
+        return idx
 
     # ---- media -----------------------------------------------------------
 
@@ -806,6 +851,9 @@ class SceneBuilder:
             feat_hair=bool(np.any(mat_type == MAT_HAIR)),
             feat_measured=bool(np.any(mat_type == MAT_MEASURED)),
             feat_portal=bool(np.any(light_type == LIGHT_PORTAL_ENV)),
+            feat_spectral=bool(self._spec_tables),
+            spec_tables=(np.stack(self._spec_tables)
+                         if self._spec_tables else None),
             **med,
             **env,
         )

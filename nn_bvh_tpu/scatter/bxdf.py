@@ -168,6 +168,11 @@ class MaterialCtx(NamedTuple):
     #   None when the scene has no measured material
     meas_id: Array = None   # (...,) i32 per-lane table id
     lam: Array = None       # (..., S) wavelengths (measured uplift needs them)
+    # spectral complex IOR at the sampled wavelengths (named-spectrum
+    # conductors, util/spectrum.cpp metal-*-eta/k); None when the scene has
+    # no spectral-eta materials (keeps the gathers off the hot path)
+    eta_s: Array = None     # (..., S)
+    k_s: Array = None       # (..., S)
 
 
 def material_records(scene: scene_mod.CompiledScene) -> Array:
@@ -212,6 +217,28 @@ def has_hair(scene: scene_mod.CompiledScene) -> bool:
 def has_measured(scene: scene_mod.CompiledScene) -> bool:
     """Static: any MeasuredBxDF? (gates the table branch)."""
     return _feat(scene, "feat_measured", scene_mod.MAT_MEASURED)
+
+
+def has_spectral(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any named-spectrum eta/k material? (gates spectral Fresnel)."""
+    return bool(getattr(scene, "feat_spectral", False)) and \
+        scene.spec_tables is not None
+
+
+def sample_spec_table(tables, tab_idx, lam):
+    """Evaluate dense 1-nm spectra at sampled wavelengths: gather + lerp
+    (the device analog of PiecewiseLinearSpectrum::operator(), spectrum.h).
+    tables: (S, 471); tab_idx: (...,) i32; lam: (..., 4) nm -> (..., 4)."""
+    from ..core import spectrum as spec_mod
+
+    x = jnp.clip(lam - spec_mod.LAMBDA_MIN, 0.0,
+                 tables.shape[1] - 1.001)
+    lo = x.astype(jnp.int32)
+    frac = x - lo.astype(jnp.float32)
+    ti = jnp.maximum(tab_idx, 0)[..., None]
+    v0 = tables[ti, lo]
+    v1 = tables[ti, lo + 1]
+    return v0 * (1.0 - frac) + v1 * frac
 
 
 def select_ctx(mask: Array, ctx_new: MaterialCtx,
@@ -298,6 +325,18 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         meas_tab = scene.measured_coeffs
         meas_id = rec[..., 8].astype(jnp.int32)  # k slot carries the table id
         lam_ctx = lam
+    eta_s = k_s = None
+    if has_spectral(scene) and lam is not None:
+        eta_tab = rec[..., 15].astype(jnp.int32)
+        k_tab = rec[..., 16].astype(jnp.int32)
+        eta_s = jnp.where(
+            (eta_tab >= 0)[..., None],
+            sample_spec_table(scene.spec_tables, eta_tab, lam),
+            rec[..., 7:8])
+        k_s = jnp.where(
+            (k_tab >= 0)[..., None],
+            sample_spec_table(scene.spec_tables, k_tab, lam),
+            rec[..., 8:9])
     return MaterialCtx(
         mat_type=mat_type,
         refl=jnp.clip(refl, 0.0, None),
@@ -310,6 +349,8 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         meas_tab=meas_tab,
         meas_id=meas_id,
         lam=lam_ctx,
+        eta_s=eta_s,
+        k_s=k_s,
     )
 
 
@@ -335,12 +376,17 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
     wm_n = vm.normalize(wm)
     wm_n = jnp.where(wm_n[..., 2:3] < 0, -wm_n, wm_n)
     valid_m = (wm_len2 > 1e-12) & refl_side & ~smooth
-    fr = fr_complex(vm.absdot(wo, wm_n), ctx.eta, ctx.k)
+    if ctx.eta_s is not None:
+        # per-wavelength complex Fresnel (FrComplex over SampledSpectrum)
+        fr_s = fr_complex(vm.absdot(wo, wm_n)[..., None], ctx.eta_s, ctx.k_s)
+    else:
+        fr_s = fr_complex(vm.absdot(wo, wm_n), ctx.eta, ctx.k)[..., None]
     d_ggx = tr_d(wm_n, ctx.ax, ctx.ay)
     g_ggx = tr_g(wo, wi, ctx.ax, ctx.ay)
     denom = jnp.maximum(4.0 * vm.abs_cos_theta(wo) * abs_ci, 1e-9)
     f_cond = jnp.where(
-        valid_m[..., None], (ctx.refl * (fr * d_ggx * g_ggx / denom)[..., None]), 0.0
+        valid_m[..., None],
+        ctx.refl * fr_s * (d_ggx * g_ggx / denom)[..., None], 0.0
     )
     pdf_cond = jnp.where(
         valid_m,
@@ -484,8 +530,13 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
     # ---- conductor -------------------------------------------------------
     # smooth: perfect mirror
     wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
-    fr_smooth = fr_complex(vm.abs_cos_theta(wo), ctx.eta, ctx.k)
-    f_mirror = ctx.refl * (fr_smooth / jnp.maximum(vm.abs_cos_theta(wi_mirror), 1e-9))[..., None]
+    if ctx.eta_s is not None:
+        fr_smooth_s = fr_complex(vm.abs_cos_theta(wo)[..., None],
+                                 ctx.eta_s, ctx.k_s)
+    else:
+        fr_smooth_s = fr_complex(vm.abs_cos_theta(wo), ctx.eta, ctx.k)[..., None]
+    f_mirror = ctx.refl * fr_smooth_s \
+        / jnp.maximum(vm.abs_cos_theta(wi_mirror), 1e-9)[..., None]
     # rough: sample visible normal
     wo_up = jnp.where(wo[..., 2:3] < 0, -wo, wo)
     wm = tr_sample_wm(wo_up, u2, ctx.ax, ctx.ay)
