@@ -158,11 +158,16 @@ class GraphicsState:
     material: int = -1
     area_light: Optional[dict] = None
     reverse_orientation: bool = False
+    # current MediumInterface (scene.cpp graphics-state currentInsideMedium/
+    # currentOutsideMedium): builder medium ids, -1 = vacuum
+    med_inside: int = -1
+    med_outside: int = -1
 
     def copy(self) -> "GraphicsState":
         return GraphicsState(self.ctm.copy(), self.material,
                              dict(self.area_light) if self.area_light else None,
-                             self.reverse_orientation)
+                             self.reverse_orientation,
+                             self.med_inside, self.med_outside)
 
 
 @dataclass
@@ -204,6 +209,7 @@ def parse_file(path: str) -> ParseResult:
     gs = GraphicsState()
     stack: list[GraphicsState] = []
     named_materials: dict[str, int] = {}
+    named_media: dict[str, int] = {}
     textures: dict[str, dict] = {}
     objects: dict[str, list] = {}
     current_object: Optional[str] = None
@@ -316,7 +322,8 @@ def parse_file(path: str) -> ParseResult:
             rec = dict(vertices=verts, faces=faces, normals=normals, uvs=uvs,
                        transform=gs.ctm.copy(), material=mat,
                        emission=emission, escale=escale, two_sided=two_sided,
-                       sphere_r=sphere_r)
+                       sphere_r=sphere_r,
+                       med_inside=gs.med_inside, med_outside=gs.med_outside)
             if target is not None:
                 target.append(rec)
             else:
@@ -389,6 +396,8 @@ def parse_file(path: str) -> ParseResult:
                 rec["vertices"], rec["faces"], rec["material"],
                 normals=rec["normals"], uvs=rec["uvs"], transform=m,
                 light_id=lid,
+                med_inside=rec.get("med_inside", -1),
+                med_outside=rec.get("med_outside", -1),
             )
             return
         builder.add_mesh(
@@ -396,6 +405,8 @@ def parse_file(path: str) -> ParseResult:
             normals=rec["normals"], uvs=rec["uvs"], transform=m,
             emission_rgb=rec["emission"], emission_scale=rec["escale"],
             two_sided=rec["two_sided"],
+            med_inside=rec.get("med_inside", -1),
+            med_outside=rec.get("med_outside", -1),
         )
 
     while ts.peek() is not None:
@@ -572,15 +583,76 @@ def parse_file(path: str) -> ParseResult:
             stype = _unquote(ts.next())
             p = parse_params(ts)
             add_shape(stype, p)
-        elif tok in ("MakeNamedMedium", "MediumInterface", "Attribute"):
-            if tok == "Attribute":
-                _unquote(ts.next())
+        elif tok == "MakeNamedMedium":
+            # scene.cpp:909 CreateMedia: register a named medium with the
+            # builder; grids carry world bounds from the CTM
+            mname = _unquote(ts.next())
+            p = parse_params(ts)
+            mtype = pget(p, "type", "homogeneous")
+            sigma_a = np.atleast_1d(pvec(p, "sigma_a",
+                                         np.ones(3, np.float32)))
+            sigma_s = np.atleast_1d(pvec(p, "sigma_s",
+                                         np.ones(3, np.float32)))
+            if sigma_a.size == 1:
+                sigma_a = np.full(3, float(sigma_a), np.float32)
+            if sigma_s.size == 1:
+                sigma_s = np.full(3, float(sigma_s), np.float32)
+            mscale = float(pget(p, "scale", 1.0))
+            mg = float(pget(p, "g", 0.0))
+            Le = np.atleast_1d(pvec(p, "Le", np.zeros(3, np.float32)))
+            if Le.size == 1:
+                Le = np.full(3, float(Le), np.float32)
+            le_scale = float(pget(p, "Lescale", 1.0)) if np.any(Le > 0) else 0.0
+            if mtype in ("uniformgrid", "rgbgrid", "cloud", "nanovdb") \
+                    and "density" in p:
+                nx = int(pget(p, "nx", 1))
+                ny = int(pget(p, "ny", 1))
+                nz = int(pget(p, "nz", 1))
+                dens = np.asarray(p["density"]["values"],
+                                  np.float32).reshape(nz, ny, nx)
+                p0 = np.asarray(pvec(p, "p0", np.zeros(3, np.float32)),
+                                np.float32)
+                p1 = np.asarray(pvec(p, "p1", np.ones(3, np.float32)),
+                                np.float32)
+                corners = np.array([[p0[0], p0[1], p0[2]],
+                                    [p1[0], p0[1], p0[2]],
+                                    [p0[0], p1[1], p0[2]],
+                                    [p0[0], p0[1], p1[2]],
+                                    [p1[0], p1[1], p0[2]],
+                                    [p1[0], p0[1], p1[2]],
+                                    [p0[0], p1[1], p1[2]],
+                                    [p1[0], p1[1], p1[2]]], np.float32)
+                wc = xf.apply_points(gs.ctm, corners)
+                bounds = np.stack([wc.min(0), wc.max(0)])
+                mid = builder.add_medium(
+                    "grid", sigma_a=sigma_a, sigma_s=sigma_s, scale=mscale,
+                    g=mg, Le=Le, Le_scale=le_scale, density=dens,
+                    bounds=bounds)
             else:
-                _unquote(ts.next())
-                if tok == "MediumInterface" and ts.peek() and ts.peek().startswith('"'):
-                    _unquote(ts.next())
+                if mtype not in ("homogeneous",):
+                    warn(f"medium type '{mtype}' approximated as homogeneous")
+                mid = builder.add_medium(
+                    "homogeneous", sigma_a=sigma_a, sigma_s=sigma_s,
+                    scale=mscale, g=mg, Le=Le, Le_scale=le_scale)
+            named_media[mname] = mid
+        elif tok == "MediumInterface":
+            # two quoted names; "" = vacuum (scene.cpp MediumInterface)
+            inside = _unquote(ts.next())
+            outside = ""
+            if ts.peek() is not None and ts.peek().startswith('"'):
+                outside = _unquote(ts.next())
+            gs.med_inside = named_media.get(inside, -1) if inside else -1
+            gs.med_outside = named_media.get(outside, -1) if outside else -1
+            if inside and inside not in named_media:
+                warn(f"unknown medium '{inside}'")
+            if not world:
+                # exterior medium of the camera (pbrt camera medium)
+                builder.set_camera_medium(gs.med_outside
+                                          if outside else gs.med_inside)
+        elif tok == "Attribute":
+            _unquote(ts.next())
             parse_params(ts)
-            warn(f"{tok} unsupported, skipped")
+            warn("Attribute directive unsupported, skipped")
         else:
             # unknown directive: consume its params defensively
             warn(f"directive '{tok}' unsupported, skipped")

@@ -208,3 +208,45 @@ def test_volpath_matches_path_without_media():
     a = _mean_render(sc, dbvh, cam, spp=48, kind="path")
     v = _mean_render(sc, dbvh, cam, spp=48, kind="volpath")
     assert abs(a - v) / max(a, 1e-9) < 0.05, (a, v)
+
+
+def test_parser_named_medium_interface(tmp_path):
+    """MakeNamedMedium + MediumInterface parse into CompiledScene media
+    (reference scene.cpp:909 CreateMedia + graphics-state MediumInterface);
+    crown.pbrt's homogeneous ruby/sapphire media follow this path."""
+    import numpy as np
+    from nn_bvh_tpu.geometry import pbrt_parser, scene as scene_mod
+
+    f = tmp_path / "med.pbrt"
+    f.write_text("""
+Camera "perspective" "float fov" [50]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [0.1 0.2 0.3] "rgb sigma_s" [0.5 0.5 0.5]
+    "float scale" [2.0] "float g" [0.3]
+MakeNamedMedium "smoke" "string type" "uniformgrid"
+    "integer nx" [2] "integer ny" [2] "integer nz" [2]
+    "float density" [1 2 3 4 5 6 7 8]
+    "point3 p0" [0 0 0] "point3 p1" [1 1 1]
+AttributeBegin
+  Material "none"
+  MediumInterface "fog" ""
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+Material "diffuse"
+Shape "trianglemesh" "point3 P" [-1 0 -1  1 0 -1  1 0 1]
+  "integer indices" [0 1 2]
+""")
+    res = pbrt_parser.parse_file(str(f))
+    assert not any("MakeNamedMedium" in w for w in res.warnings), res.warnings
+    sc = res.builder.build()
+    assert sc.n_media == 2
+    assert int(np.asarray(sc.med_type)[0]) == scene_mod.MED_HOMOGENEOUS
+    assert int(np.asarray(sc.med_type)[1]) == scene_mod.MED_GRID
+    assert float(np.asarray(sc.med_max_density)[1]) == 8.0
+    assert abs(float(np.asarray(sc.med_scales)[0, 3]) - 0.3) < 1e-6  # g
+    # the sphere's triangles carry the medium interface; the floor does not
+    tmi = np.asarray(sc.tri_med_inside)[:sc.n_tris]
+    assert (tmi == 0).sum() > 0
+    assert tmi[-1] == -1  # floor added after the sphere
