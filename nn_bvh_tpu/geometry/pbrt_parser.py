@@ -145,7 +145,12 @@ def pget(params, name, default=None):
 def pvec(params, name, default=None):
     if name not in params:
         return default
-    return np.asarray(params[name]["values"], np.float32)
+    vals = params[name]["values"]
+    if vals and isinstance(vals[0], str):
+        # texture-typed or named-spectrum parameter — numeric callers fall
+        # back to the default; string handling happens at the call sites
+        return default
+    return np.asarray(vals, np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +207,20 @@ _MATERIAL_MAP = {
 }
 
 
+def _blackbody_rgb(T: float) -> np.ndarray:
+    """RGB of a peak-normalized blackbody (BlackbodySpectrum semantics,
+    spectrum.h:497: normalized so the Planck maximum is 1)."""
+    from ..core import spectrum as spec_mod, colorspace
+
+    lam = np.arange(spec_mod.LAMBDA_MIN, spec_mod.LAMBDA_MAX + 1.0)
+    v = np.asarray(spec_mod.blackbody_normalized(lam, T))
+    xyz = np.array([np.sum(v * spec_mod.cie_x(lam)),
+                    np.sum(v * spec_mod.cie_y(lam)),
+                    np.sum(v * spec_mod.cie_z(lam))]) / spec_mod.CIE_Y_INTEGRAL
+    rgb = colorspace.XYZ_TO_SRGB @ xyz.astype(np.float32)
+    return np.maximum(rgb, 0.0).astype(np.float32)
+
+
 def parse_file(path: str) -> ParseResult:
     ts = TokenStream(path)
     builder = SceneBuilder()
@@ -220,6 +239,29 @@ def parse_file(path: str) -> ParseResult:
             res.warnings.append(msg)
 
     def make_material(mtype: str, params: dict) -> int:
+        if mtype == "mix":
+            # MixMaterial: two named sub-materials + amount (materials.h)
+            subs = params.get("materials", {"values": []})["values"]
+            ids = [named_materials.get(s, -1) for s in subs[:2]]
+            if len(ids) == 2 and min(ids) >= 0:
+                amt_raw = pget(params, "amount", 0.5)
+                if isinstance(amt_raw, str):
+                    # texture-driven amount (crown.pbrt mask mixes): encode
+                    # as -(tex_id+1); resolved per intersection in
+                    # bxdf.gather_material from the texture stack
+                    tex = textures.get(amt_raw) or {}
+                    tid = tex.get("tex_id", -1)
+                    if tid >= 0:
+                        amt = -float(tid + 1)
+                    else:
+                        warn("mix amount texture unresolved -> 0.5")
+                        amt = 0.5
+                else:
+                    amt = float(amt_raw)
+                return builder.add_material(
+                    "mix", mix_materials=(ids[0], ids[1]), mix_amount=amt)
+            warn("mix material with unresolved submaterials -> diffuse")
+            return builder.add_material("diffuse")
         kind, note = _MATERIAL_MAP.get(mtype, (None, None))
         if kind is None:
             warn(f"material '{mtype}' unsupported -> diffuse")
@@ -518,8 +560,19 @@ def parse_file(path: str) -> ParseResult:
                     from ..utils import image as image_mod
 
                     full = os.path.join(ts.base, fn)
-                    img = (image_mod.read_pfm(full) if fn.endswith(".pfm")
-                           else image_mod.read_exr(full))
+                    if fn.endswith(".pfm"):
+                        img = image_mod.read_pfm(full)
+                    elif fn.endswith((".png", ".jpg", ".jpeg", ".tga")):
+                        # 8-bit formats are sRGB-encoded (pbrt ColorEncoding
+                        # sRGB for LDR images, util/color.h) -> linearize
+                        from PIL import Image as _PIL
+
+                        raw = np.asarray(_PIL.open(full).convert("RGB"),
+                                         np.float32) / 255.0
+                        img = np.where(raw <= 0.04045, raw / 12.92,
+                                       ((raw + 0.055) / 1.055) ** 2.4)
+                    else:
+                        img = image_mod.read_exr(full)
                     rec["tex_id"] = builder.add_texture_image(img)
                 except Exception as e:
                     warn(f"imagemap '{fn}' unreadable ({type(e).__name__}), constant")
@@ -537,8 +590,15 @@ def parse_file(path: str) -> ParseResult:
         elif tok == "AreaLightSource":
             _unquote(ts.next())  # "diffuse"
             p = parse_params(ts)
+            L = pvec(p, "L", np.array([1.0, 1, 1], np.float32))
+            if "L" in p and p["L"]["type"] == "blackbody":
+                # '"blackbody L" [5500]' (crown.pbrt:28): normalized
+                # blackbody -> RGB chroma via the CIE curves
+                L = _blackbody_rgb(float(np.atleast_1d(L)[0]))
+            elif np.atleast_1d(L).size == 1:
+                L = np.full(3, float(np.atleast_1d(L)[0]), np.float32)
             gs.area_light = {
-                "L": pvec(p, "L", np.array([1.0, 1, 1], np.float32)),
+                "L": L,
                 "scale": float(pget(p, "scale", 1.0)),
                 "twosided": bool(pget(p, "twosided", False)),
             }

@@ -77,6 +77,7 @@ MED_NONE = -1
 MED_HOMOGENEOUS = 0
 MED_GRID = 1
 MED_GRID_RES = 64  # density grids resampled to a fixed-size stack (like TEX_RES)
+MAJ_GRID_RES = 16  # low-res conservative majorant grid (MajorantGrid, media.h)
 
 TEX_RES = 256  # all image textures resampled to a fixed-size array stack
 
@@ -153,6 +154,11 @@ class CompiledScene(NamedTuple):
     med_max_density: Array = None  # (K,) majorant density (1 for homogeneous)
     med_bounds: Array = None      # (K,2,3) world AABB of the density grid
     med_grids: Array = None       # (G, D, H, W) density stack
+    # conservative low-res majorant grids, one per density grid: supervoxel
+    # max with 1-fine-voxel dilation so it bounds the trilinear field
+    # everywhere inside the supervoxel (MajorantGrid, media.h:100; fed to the
+    # per-lane DDA in volpath). (G, MAJ, MAJ, MAJ).
+    med_maj_grids: Array = None
     n_media: int = 0
     # medium the camera sits in (pbrt: camera "medium" directive) — static
     camera_medium: int = -1
@@ -203,6 +209,27 @@ def make_tri_shade(scene: "CompiledScene") -> np.ndarray:
         out[:, 27] = np.asarray(scene.tri_med_outside, np.float32)
     else:
         out[:, 26:28] = -1.0
+    return out
+
+
+def majorant_grid(dens: np.ndarray, res: int = MAJ_GRID_RES) -> np.ndarray:
+    """Conservative low-res majorant of a density grid (MajorantGrid,
+    media.h:100): supervoxel max over the covered fine voxels, dilated by one
+    fine voxel on every side so the TRILINEAR density field (which reads
+    neighbor samples) is bounded everywhere inside the supervoxel."""
+    d = np.asarray(dens, np.float32)
+    D, H, W = d.shape
+    pad = np.pad(d, 1, mode="edge")
+    out = np.zeros((res, res, res), np.float32)
+    zb = [int(np.floor(i * D / res)) for i in range(res + 1)]
+    yb = [int(np.floor(i * H / res)) for i in range(res + 1)]
+    xb = [int(np.floor(i * W / res)) for i in range(res + 1)]
+    for z in range(res):
+        for y in range(res):
+            for x in range(res):
+                out[z, y, x] = pad[zb[z]:zb[z + 1] + 2,
+                                   yb[y]:yb[y + 1] + 2,
+                                   xb[x]:xb[x + 1] + 2].max()
     return out
 
 
@@ -415,15 +442,17 @@ class SceneBuilder:
             grid = d[zi][:, yi][:, :, xi]
             max_density = float(d.max())
             bounds = np.asarray(bounds, np.float32).reshape(2, 3)
+            maj = majorant_grid(grid)
         else:
             grid = None
+            maj = None
             max_density = 1.0
             bounds = np.zeros((2, 3), np.float32)
         self._media.append(
             dict(type=mtype, sigma_a=np.asarray(sigma_a, np.float32),
                  sigma_s=np.asarray(sigma_s, np.float32), scale=float(scale),
                  g=float(g), Le=np.asarray(Le, np.float32),
-                 Le_scale=float(Le_scale), grid=grid,
+                 Le_scale=float(Le_scale), grid=grid, maj=maj,
                  max_density=max_density, bounds=bounds)
         )
         return len(self._media) - 1
@@ -788,11 +817,13 @@ class SceneBuilder:
                 [sa_s * user, ss_s * user,
                  le_s * np.array([m["Le_scale"] for m in self._media], np.float32),
                  np.array([m["g"] for m in self._media], np.float32)], -1)
-            grids, med_grid_id = [], np.full(len(self._media), -1, np.int32)
+            grids, majs = [], []
+            med_grid_id = np.full(len(self._media), -1, np.int32)
             for i, m in enumerate(self._media):
                 if m["grid"] is not None:
                     med_grid_id[i] = len(grids)
                     grids.append(m["grid"])
+                    majs.append(m["maj"])
             med = dict(
                 med_type=med_type, med_sa_coeffs=sa_c, med_ss_coeffs=ss_c,
                 med_le_coeffs=le_c, med_scales=med_scales.astype(np.float32),
@@ -802,6 +833,8 @@ class SceneBuilder:
                 med_bounds=np.stack([m["bounds"] for m in self._media]),
                 med_grids=(np.stack(grids) if grids
                            else np.zeros((1, 1, 1, 1), np.float32)),
+                med_maj_grids=(np.stack(majs) if majs
+                               else np.ones((1, 1, 1, 1), np.float32)),
                 n_media=len(self._media), camera_medium=self._camera_medium,
             )
         else:
@@ -815,6 +848,7 @@ class SceneBuilder:
                 med_max_density=np.zeros(0, np.float32),
                 med_bounds=np.zeros((0, 2, 3), np.float32),
                 med_grids=np.zeros((1, 1, 1, 1), np.float32),
+                med_maj_grids=np.ones((1, 1, 1, 1), np.float32),
                 n_media=0, camera_medium=-1,
             )
 

@@ -287,6 +287,24 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         sub_a = rec[..., 11].astype(jnp.int32)
         sub_b = rec[..., 12].astype(jnp.int32)
         amount = rec[..., 13]
+        has_tex_stack = (scene.tex_coeffs is not None
+                         and scene.tex_coeffs.size > 4)
+        if has_tex_stack and uv is not None:
+            # texture-driven mix amount (MixMaterial "texture amount",
+            # crown.pbrt mask mixes): amount < 0 encodes -(tex_id+1)
+            amt_tex = (-amount - 1.0).astype(jnp.int32)
+            tcount, th0, tw0, _ = scene.tex_coeffs.shape
+            uvw0 = uv - jnp.floor(uv)
+            tx0 = jnp.clip((uvw0[..., 0] * tw0).astype(jnp.int32), 0, tw0 - 1)
+            ty0 = jnp.clip((uvw0[..., 1] * th0).astype(jnp.int32), 0, th0 - 1)
+            texel0 = scene.tex_coeffs[jnp.clip(amt_tex, 0, tcount - 1),
+                                      ty0, tx0]
+            tval = jnp.clip(
+                rgb2spec.eval_sigmoid_poly(texel0[..., 0:3],
+                                           jnp.full_like(uvw0[..., :1], 550.0)
+                                           )[..., 0] * texel0[..., 3],
+                0.0, 1.0)
+            amount = jnp.where(amount < 0, tval, amount)
         resolved = jnp.where(is_mix,
                              jnp.where(u_mix < amount, sub_a, sub_b), mat_id)
         rec = jnp.where(is_mix[..., None],

@@ -183,3 +183,81 @@ def phase_sample(wo: Array, u2: Array, g: Array):
     )
     pdf = hg_p(cos_t, g)
     return wi, pdf
+
+
+# ---------------------------------------------------------------------------
+# per-lane DDA over the low-res majorant grid (DDAMajorantIterator,
+# media.h:135) — all state is SoA arrays carried through the null-scattering
+# while_loop, so every lane advances its own majorant segment with masked
+# selects instead of divergent control flow.
+# ---------------------------------------------------------------------------
+
+class DDAState(NamedTuple):
+    voxel: Array       # (..., 3) i32 current supervoxel
+    next_cross: Array  # (..., 3) t of next crossing per axis
+    step: Array        # (..., 3) i32 +-1
+    delta: Array       # (..., 3) t per voxel step
+    seg_end: Array     # (...,) end of the current majorant segment
+    maj_dens: Array    # (...,) local majorant density (supervoxel max)
+
+
+def _maj_lookup(scene: scene_mod.CompiledScene, ctx: MediumCtx,
+                voxel: Array) -> Array:
+    """Majorant density of a supervoxel; homogeneous media return their
+    global max_density (their 'grid' is the 1-cell ones grid)."""
+    maj = scene.med_maj_grids  # (G, M, M, M)
+    g_, mz, my, mx = maj.shape
+    gi = jnp.clip(ctx.grid_id, 0, g_ - 1)
+    v = maj[gi,
+            jnp.clip(voxel[..., 2], 0, mz - 1),
+            jnp.clip(voxel[..., 1], 0, my - 1),
+            jnp.clip(voxel[..., 0], 0, mx - 1)]
+    is_grid = ctx.med_type == scene_mod.MED_GRID
+    return jnp.where(is_grid, v, 1.0)
+
+
+def dda_init(scene: scene_mod.CompiledScene, ctx: MediumCtx,
+             o: Array, d: Array, t0: Array, t1: Array) -> DDAState:
+    """Set up the majorant DDA at ray parameter t0 (media.h:136-170).
+    Homogeneous lanes get a single segment [t0, t1] with maj_dens = 1
+    (their max_density is folded into sigma_maj by the caller)."""
+    res = scene.med_maj_grids.shape[1]
+    ext = jnp.maximum(ctx.bhi - ctx.blo, 1e-20)
+    # normalized grid space
+    og = (o - ctx.blo) / ext
+    dg = d / ext
+    p_ent = og + t0[..., None] * dg
+    voxel = jnp.clip((p_ent * res).astype(jnp.int32), 0, res - 1)
+    d_safe = jnp.where(jnp.abs(dg) < 1e-12, 1e-12, dg)
+    pos_dir = d_safe >= 0
+    step = jnp.where(pos_dir, 1, -1)
+    next_vox_pos = jnp.where(pos_dir, (voxel + 1).astype(jnp.float32),
+                             voxel.astype(jnp.float32)) / res
+    next_cross = t0[..., None] + (next_vox_pos - p_ent) / d_safe
+    delta = 1.0 / (jnp.abs(d_safe) * res)
+    is_grid = (ctx.med_type == scene_mod.MED_GRID)[..., None]
+    big = jnp.full_like(next_cross, 1e30)
+    next_cross = jnp.where(is_grid, next_cross, big)
+    seg_end = jnp.where(is_grid[..., 0],
+                        jnp.minimum(jnp.min(next_cross, -1), t1), t1)
+    st = DDAState(voxel=voxel, next_cross=next_cross,
+                  step=step.astype(jnp.int32), delta=delta,
+                  seg_end=seg_end, maj_dens=jnp.ones(t0.shape, jnp.float32))
+    return st._replace(maj_dens=_maj_lookup(scene, ctx, voxel))
+
+
+def dda_advance(scene: scene_mod.CompiledScene, ctx: MediumCtx,
+                st: DDAState, t1: Array, active: Array) -> DDAState:
+    """Advance active lanes to the next supervoxel (DDAMajorantIterator::
+    Next stepping, media.h:173-196), masked for inactive lanes."""
+    axis = jnp.argmin(st.next_cross, axis=-1)
+    onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+    voxel = st.voxel + jnp.where(active[..., None], onehot * st.step, 0)
+    next_cross = st.next_cross + jnp.where(
+        active[..., None], onehot.astype(jnp.float32) * st.delta, 0.0)
+    seg_end = jnp.where(active,
+                        jnp.minimum(jnp.min(next_cross, -1), t1), st.seg_end)
+    maj = _maj_lookup(scene, ctx, voxel)
+    return DDAState(voxel=voxel, next_cross=next_cross, step=st.step,
+                    delta=st.delta, seg_end=seg_end,
+                    maj_dens=jnp.where(active, maj, st.maj_dens))
