@@ -65,8 +65,8 @@ def main(argv=None):
 
     integ = args.integrator or res.integrator
     mis = integ not in ("simplepath", "randomwalk", "ao")
-    kind = {"randomwalk": "randomwalk", "ambientocclusion": "ao", "ao": "ao"}.get(
-        integ, "path")
+    kind = {"randomwalk": "randomwalk", "ambientocclusion": "ao", "ao": "ao",
+            "volpath": "volpath", "simplevolpath": "volpath"}.get(integ, "path")
     cfg = integrator.IntegratorConfig(
         max_depth=args.maxdepth or res.max_depth, mis=mis, kind=kind,
         rr_depth=2 if mis else 99,

@@ -160,7 +160,9 @@ def pvec(params, name, default=None):
 @dataclass
 class GraphicsState:
     ctm: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32))
-    material: int = -1
+    # None = no Material directive seen (add_shape creates a default gray
+    # diffuse); -1 = explicit interface material (Material "none")
+    material: "int | None" = None
     area_light: Optional[dict] = None
     reverse_orientation: bool = False
     # current MediumInterface (scene.cpp graphics-state currentInsideMedium/
@@ -357,8 +359,9 @@ def parse_file(path: str) -> ParseResult:
             emission = emission / m
             two_sided = bool(gs.area_light.get("twosided", False))
         mat = gs.material
-        if mat < 0 and gs.area_light is None:
-            mat = make_material("diffuse", {})
+        if mat is None:
+            mat = -1 if gs.area_light is not None \
+                else make_material("diffuse", {})
 
         def emit_mesh(verts, faces, normals=None, uvs=None, sphere_r=None):
             rec = dict(vertices=verts, faces=faces, normals=normals, uvs=uvs,

@@ -131,8 +131,14 @@ def trace_wave_vol(
                       allow_scatter):
         ctx = media.gather_medium(scene, cur_med, lam, med_all)
         t0, t1 = media.segment_bounds(ctx, o, d, jnp.where(jnp.isfinite(t_hit), t_hit, 1e30))
-        maj0 = ctx.sigma_maj[..., 0]
-        run0 = run0 & ctx.valid & (t1 > t0) & (maj0 > 1e-18)
+        # spectral majorant at unit majorant-density; per-segment majorant =
+        # sigma_unit * dda.maj_dens (homogeneous lanes: maj_dens folds in
+        # max_density via gather_medium's sigma_maj so reuse that)
+        is_grid = ctx.med_type == scene_mod.MED_GRID
+        sigma_unit = jnp.where(is_grid[..., None],
+                               ctx.sigma_a + ctx.sigma_s, ctx.sigma_maj)
+        run0 = run0 & ctx.valid & (t1 > t0) & (ctx.sigma_maj[..., 0] > 1e-18)
+        dda0 = media.dda_init(scene, ctx, o, d, t0, t1)
 
         zeros_b = jnp.zeros((R,), bool)
         init = dict(
@@ -140,6 +146,8 @@ def trace_wave_vol(
             scattered=zeros_b, terminated=zeros_b,
             p_scat=o, beta=beta, r_u=r_u, r_l=r_l, L=L,
             T_final=jnp.ones((R, S), jnp.float32),
+            T_acc=jnp.ones((R, S), jnp.float32),
+            dda=dda0,
         )
 
         def cond(s):
@@ -147,25 +155,34 @@ def trace_wave_vol(
 
         def body(s):
             run = s["running"]
+            dda = s["dda"]
+            sigma_maj = sigma_unit * dda.maj_dens[..., None]
+            maj0 = sigma_maj[..., 0]
+            seg_end = jnp.minimum(dda.seg_end, t1)
             u = _rand(depth, s["step"], 101)
-            dt = -jnp.log1p(-u) / maj0
+            dt = jnp.where(maj0 > 1e-18, -jnp.log1p(-u) / maj0, 2e30)
             t_new = s["t"] + dt
-            exited = t_new >= t1
-            seg_dt = jnp.minimum(t_new, t1) - s["t"]
-            # T_maj accumulates only since the last event: it is reset to 1
-            # after every callback (media.h SampleT_maj), so one step's
-            # transmittance is exactly exp(-sigma_maj * dt)
-            T_ev = jnp.exp(-ctx.sigma_maj * seg_dt[..., None])
+            # three outcomes: event inside this majorant segment, cross into
+            # the next supervoxel (grid media), or exit the medium span
+            crossed = run & (t_new >= seg_end) & (seg_end < t1)
+            exited = run & (t_new >= seg_end) & ~crossed
+            t_stop = jnp.minimum(t_new, seg_end)
+            seg_dt = t_stop - s["t"]
+            T_step = jnp.exp(-sigma_maj * seg_dt[..., None])
+            # transmittance accumulated SINCE THE LAST EVENT (media.h
+            # SampleT_maj resets T_maj to 1 after each callback); piecewise
+            # majorants multiply across supervoxel crossings
+            T_ev = s["T_acc"] * T_step
             p = o + t_new[..., None] * d
             dens = media.density(scene, ctx, p)
             sig_a = ctx.sigma_a * dens[..., None]
             sig_s = ctx.sigma_s * dens[..., None]
-            ev = run & ~exited
+            ev = run & ~exited & ~crossed
 
             # emission at the event point (integrators.cpp:990-1001)
             pdf_e = maj0 * T_ev[..., 0]
             betap = s["beta"] * T_ev / jnp.maximum(pdf_e, 1e-30)[..., None]
-            r_e = s["r_u"] * ctx.sigma_maj * T_ev / jnp.maximum(pdf_e, 1e-30)[..., None]
+            r_e = s["r_u"] * sigma_maj * T_ev / jnp.maximum(pdf_e, 1e-30)[..., None]
             r_e_avg = _avg(r_e)
             emit_ok = ev & _any_pos(ctx.le) & (r_e_avg > 0)
             L_new = s["L"] + jnp.where(
@@ -175,8 +192,9 @@ def trace_wave_vol(
             )
 
             # event type (integrators.cpp:1004-1011)
-            p_absorb = sig_a[..., 0] / maj0
-            p_scatter = sig_s[..., 0] / maj0
+            maj0_safe = jnp.maximum(maj0, 1e-30)
+            p_absorb = sig_a[..., 0] / maj0_safe
+            p_scatter = sig_s[..., 0] / maj0_safe
             um = _rand(depth, s["step"], 202)
             absorb = ev & (um < p_absorb)
             scat = ev & ~absorb & (um < p_absorb + p_scatter)
@@ -191,13 +209,13 @@ def trace_wave_vol(
             pdf_s = jnp.maximum(T_ev[..., 0] * sig_s[..., 0], 1e-30)
             f_s = T_ev * sig_s / pdf_s[..., None]
             # null scatter (integrators.cpp:1058-1065)
-            sig_n = jnp.maximum(ctx.sigma_maj - sig_a - sig_s, 0.0)
+            sig_n = jnp.maximum(sigma_maj - sig_a - sig_s, 0.0)
             pdf_n = T_ev[..., 0] * sig_n[..., 0]
             f_n = jnp.where(
                 (pdf_n > 0)[..., None],
                 T_ev * sig_n / jnp.maximum(pdf_n, 1e-30)[..., None], 0.0)
             r_un = T_ev * sig_n / jnp.maximum(pdf_n, 1e-30)[..., None]
-            r_ln = T_ev * ctx.sigma_maj / jnp.maximum(pdf_n, 1e-30)[..., None]
+            r_ln = T_ev * sigma_maj / jnp.maximum(pdf_n, 1e-30)[..., None]
 
             beta_new = jnp.where(scat[..., None], s["beta"] * f_s,
                                  jnp.where(null[..., None], s["beta"] * f_n, s["beta"]))
@@ -206,17 +224,21 @@ def trace_wave_vol(
             r_l_new = jnp.where(null[..., None], s["r_l"] * r_ln, s["r_l"])
 
             dead_null = null & ~(_any_pos(beta_new) & _any_pos(r_u_new))
-            T_fin = jnp.where((run & exited)[..., None], s["T_final"] * T_ev,
-                              s["T_final"])
+            T_fin = jnp.where(exited[..., None], T_ev, s["T_final"])
+            # carry: events reset the accumulated T; crossings accumulate it
+            T_acc_new = jnp.where(ev[..., None], 1.0,
+                                  jnp.where(crossed[..., None], T_ev,
+                                            s["T_acc"]))
+            dda_new = media.dda_advance(scene, ctx, dda, t1, crossed)
             return dict(
-                t=jnp.where(run, t_new, s["t"]),
+                t=jnp.where(run, t_stop, s["t"]),
                 step=s["step"] + 1,
-                running=run & null & ~dead_null,
+                running=run & ((null & ~dead_null) | crossed),
                 scattered=s["scattered"] | scat,
                 terminated=s["terminated"] | absorb | dead_null,
                 p_scat=jnp.where(scat[..., None], p, s["p_scat"]),
                 beta=beta_new, r_u=r_u_new, r_l=r_l_new, L=L_new,
-                T_final=T_fin,
+                T_final=T_fin, T_acc=T_acc_new, dda=dda_new,
             )
 
         s = jax.lax.while_loop(cond, body, init)
@@ -258,36 +280,48 @@ def trace_wave_vol(
             if has_media:
                 ctx = media.gather_medium(scene, med, lam, med_all)
                 t0, t1 = media.segment_bounds(ctx, seg_o, wi, t_end)
-                maj0 = ctx.sigma_maj[..., 0]
-                run0 = alive & ctx.valid & (med >= 0) & (t1 > t0) & (maj0 > 1e-18)
+                is_grid_s = ctx.med_type == scene_mod.MED_GRID
+                sigma_unit = jnp.where(is_grid_s[..., None],
+                                       ctx.sigma_a + ctx.sigma_s,
+                                       ctx.sigma_maj)
+                run0 = alive & ctx.valid & (med >= 0) & (t1 > t0) \
+                    & (ctx.sigma_maj[..., 0] > 1e-18)
                 init = dict(t=t0, step=jnp.int32(0), running=run0,
                             T_ray=T_ray, r_l=r_lt, r_u=r_ut,
-                            T_final=jnp.ones((R, S), jnp.float32))
+                            T_final=jnp.ones((R, S), jnp.float32),
+                            T_acc=jnp.ones((R, S), jnp.float32),
+                            dda=media.dda_init(scene, ctx, seg_o, wi, t0, t1))
 
                 def cond(s):
                     return jnp.any(s["running"]) & (s["step"] < cfg.max_null_steps)
 
                 def body(s, _seg=seg):
                     run = s["running"]
+                    dda = s["dda"]
+                    sigma_maj = sigma_unit * dda.maj_dens[..., None]
+                    maj0 = sigma_maj[..., 0]
+                    seg_end2 = jnp.minimum(dda.seg_end, t1)
                     u = _rand(depth, s["step"], 303, _seg)
-                    dt = -jnp.log1p(-u) / maj0
+                    dt = jnp.where(maj0 > 1e-18, -jnp.log1p(-u) / maj0, 2e30)
                     t_new = s["t"] + dt
-                    exited = t_new >= t1
-                    seg_dt = jnp.minimum(t_new, t1) - s["t"]
-                    T_ev = jnp.exp(-ctx.sigma_maj * seg_dt[..., None])
+                    crossed = run & (t_new >= seg_end2) & (seg_end2 < t1)
+                    exited = run & (t_new >= seg_end2) & ~crossed
+                    t_stop = jnp.minimum(t_new, seg_end2)
+                    seg_dt = t_stop - s["t"]
+                    T_ev = s["T_acc"] * jnp.exp(-sigma_maj * seg_dt[..., None])
                     p = seg_o + t_new[..., None] * wi
                     dens = media.density(scene, ctx, p)
                     sig_a = ctx.sigma_a * dens[..., None]
                     sig_s = ctx.sigma_s * dens[..., None]
-                    sig_n = jnp.maximum(ctx.sigma_maj - sig_a - sig_s, 0.0)
-                    ev = run & ~exited
+                    sig_n = jnp.maximum(sigma_maj - sig_a - sig_s, 0.0)
+                    ev = run & ~exited & ~crossed
                     pdf = jnp.maximum(T_ev[..., 0] * maj0, 1e-30)
                     T_new = jnp.where(
                         ev[..., None],
                         s["T_ray"] * T_ev * sig_n / pdf[..., None], s["T_ray"])
                     rl_new = jnp.where(
                         ev[..., None],
-                        s["r_l"] * T_ev * ctx.sigma_maj / pdf[..., None], s["r_l"])
+                        s["r_l"] * T_ev * sigma_maj / pdf[..., None], s["r_l"])
                     ru_new = jnp.where(
                         ev[..., None],
                         s["r_u"] * T_ev * sig_n / pdf[..., None], s["r_u"])
@@ -300,12 +334,17 @@ def trace_wave_vol(
                     T_new = jnp.where(killed[..., None], 0.0,
                                       jnp.where((low & ~killed)[..., None],
                                                 T_new / 0.25, T_new))
-                    T_fin = jnp.where((run & exited)[..., None],
-                                      s["T_final"] * T_ev, s["T_final"])
+                    T_fin = jnp.where(exited[..., None], T_ev,
+                                      s["T_final"])
+                    T_acc_new = jnp.where(ev[..., None], 1.0,
+                                          jnp.where(crossed[..., None], T_ev,
+                                                    s["T_acc"]))
+                    dda_new = media.dda_advance(scene, ctx, dda, t1, crossed)
                     return dict(
-                        t=jnp.where(run, t_new, s["t"]), step=s["step"] + 1,
-                        running=run & ev & _any_pos(T_new),
+                        t=jnp.where(run, t_stop, s["t"]), step=s["step"] + 1,
+                        running=run & ((ev & _any_pos(T_new)) | crossed),
                         T_ray=T_new, r_l=rl_new, r_u=ru_new, T_final=T_fin,
+                        T_acc=T_acc_new, dda=dda_new,
                     )
 
                 s = jax.lax.while_loop(cond, body, init)
