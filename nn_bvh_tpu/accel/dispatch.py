@@ -30,7 +30,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import traverse, pallas_traverse, hbm_traverse
+from . import traverse, pallas_traverse, hbm_traverse, pallas_bvh8
 
 
 class BoundIntersectors(NamedTuple):
@@ -54,6 +54,12 @@ class Intersectors:
             dbvh, tri_p = t
             _closest = lambda *a: traverse.intersect_closest(dbvh, tri_p, *a)
             _any = lambda *a: traverse.intersect_any(dbvh, tri_p, *a)
+        elif self.backend == "pallas_bvh8":
+            bounds_tab, meta_tab, tri_tab = t
+            _closest = lambda *a: pallas_bvh8._traverse_bvh8(
+                bounds_tab, meta_tab, tri_tab, *a, any_hit=False)
+            _any = lambda *a: pallas_bvh8._traverse_bvh8(
+                bounds_tab, meta_tab, tri_tab, *a, any_hit=True).prim >= 0
         elif self.backend == "pallas_vmem":
             node_tab, tri_tab = t
             _closest = lambda *a: pallas_traverse._traverse_packed(
@@ -101,10 +107,24 @@ def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
         tables = (jax.tree.map(jnp.asarray, dbvh), jnp.asarray(scene.tri_p))
         return Intersectors("xla", tables, scene.bounds, sort=False)
 
+    # NOTE on BVH8 (pallas_bvh8): measured SLOWER than the binary packet
+    # kernel on v5e (incoherent 65k-tri bench: bvh8 93ms vs binary 40ms
+    # sorted) — saturated packets are dominated by LEAF triangle tests, so
+    # the 8-10x interior-node collapse doesn't pay for the extra per-
+    # iteration child extraction. Kept selectable via BVH_BACKEND=bvh8 for
+    # future revisits; binary + unrolled tri loop + 32-row tiles wins today.
+    import os as _os
+
+    if _os.environ.get("BVH_BACKEND") == "bvh8":
+        psw = pallas_bvh8.PackedSceneW(dbvh, scene.tri_p)
+        if psw.usable():
+            return Intersectors("pallas_bvh8",
+                                (psw.bounds_tab, psw.meta_tab, psw.tri_tab),
+                                scene.bounds, sort=sort)
     if pallas_traverse.usable(dbvh, n_tris):
         ps = pallas_traverse.PackedScene(dbvh, scene.tri_p)
         return Intersectors("pallas_vmem", (ps.node_tab, ps.tri_tab),
                             scene.bounds, sort=sort)
-    ps = hbm_traverse.PackedSceneHBM(dbvh, scene.tri_p)
-    return Intersectors("pallas_hbm", (ps.node_tab, ps.tri_tab),
+    psh = hbm_traverse.PackedSceneHBM(dbvh, scene.tri_p)
+    return Intersectors("pallas_hbm", (psh.node_tab, psh.tri_tab),
                         scene.bounds, sort=sort)

@@ -40,7 +40,12 @@ from .traverse import DeviceBVH, Hit
 
 Array = jax.Array
 
-TILE_ROWS = 8          # rays per tile = TILE_ROWS * 128
+import os as _os0
+# 32x128 = 4096 rays per packet: measured sweet spot on v5e — saturated
+# (incoherent) packets amortize the while-loop's fixed per-iteration cost
+# over more rays; beyond 32 rows VMEM pressure wins (rows=8: 57.6ms,
+# 16: 50.1, 32: 39.8, 64: 45.9, 128: 68.4 on the 65k-tri bench, incoherent)
+TILE_ROWS = int(_os0.environ.get("BVH_TILE_ROWS", "32"))
 LANES = 128
 STACK_DEPTH = 64
 MAX_LEAF = 8           # must match build.MAX_LEAF_PRIMS (meta packs count+32*axis, count<32)
@@ -102,11 +107,20 @@ class PackedScene:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _extract_lane(tile: Array, lane) -> Array:
-    """tile (F, 128), dynamic lane -> (F,) scalars via masked max-reduce.
+import os as _os
 
-    (An MXU one-hot dot was tried here and made Mosaic compilation blow up —
-    small matmuls inside the scalar while-loop are mis-scheduled.)"""
+_USE_ROLL = bool(_os.environ.get("BVH_ROLL_EXTRACT"))
+
+
+def _extract_lane(tile: Array, lane) -> Array:
+    """tile (F, 128), dynamic lane -> (F,) scalars.
+
+    Default: masked max-reduce. BVH_ROLL_EXTRACT=1 tries a dynamic lane
+    rotate + static column slice instead (an MXU one-hot dot was also tried
+    and made Mosaic compilation blow up)."""
+    if _USE_ROLL:
+        rolled = pltpu.roll(tile, -lane, 1)
+        return rolled[:, 0]
     sel = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == lane
     return jnp.max(jnp.where(sel, tile, -_BIG), axis=1)
 
@@ -226,21 +240,36 @@ def _make_kernel(any_hit: bool):
 
             @pl.when(hit_any & is_leaf)
             def _():
-                def tri_body(j, _):
-                    @pl.when(j < count)
-                    def _():
-                        tj = offset + j
+                if not _os.environ.get("BVH_TRI_FORI"):
+                    # unrolled, branch-free: padded/degenerate triangles are
+                    # rejected by det==0 and tj clamped in-range
+                    for j in range(MAX_LEAF):
+                        tj = jnp.minimum(offset + j, offset + count - 1)
                         tri_tile = tri_ref[pl.ds((tj // LANES) * 9, 9), :]
                         v = _extract_lane(tri_tile, tj % LANES)  # (9,)
                         tb = t_ref[...]
                         h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz, tb, v)
+                        h = h & (j < count)
                         t_ref[...] = jnp.where(h, t, tb)
                         prim_ref[...] = jnp.where(h, tj, prim_ref[...])
                         b1_ref[...] = jnp.where(h, b1, b1_ref[...])
                         b2_ref[...] = jnp.where(h, b2, b2_ref[...])
-                    return 0
+                else:
+                    def tri_body(j, _):
+                        @pl.when(j < count)
+                        def _():
+                            tj = offset + j
+                            tri_tile = tri_ref[pl.ds((tj // LANES) * 9, 9), :]
+                            v = _extract_lane(tri_tile, tj % LANES)  # (9,)
+                            tb = t_ref[...]
+                            h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz, tb, v)
+                            t_ref[...] = jnp.where(h, t, tb)
+                            prim_ref[...] = jnp.where(h, tj, prim_ref[...])
+                            b1_ref[...] = jnp.where(h, b1, b1_ref[...])
+                            b2_ref[...] = jnp.where(h, b2, b2_ref[...])
+                        return 0
 
-                jax.lax.fori_loop(0, MAX_LEAF, tri_body, 0)
+                    jax.lax.fori_loop(0, MAX_LEAF, tri_body, 0)
 
             descend = hit_any & jnp.logical_not(is_leaf)
             neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
