@@ -38,6 +38,11 @@ NODES_PER_TILE = bvh8.NODES_PER_TILE
 STACK_DEPTH = 192  # bvh8 pushes up to 7 siblings per level
 VMEM_BUDGET = 10 * 1024 * 1024
 
+# debug knob, read once at import: compile-time only (baked into jit cache)
+import os as _os
+
+_NOSORT = bool(_os.environ.get("BVH8_NOSORT"))
+
 
 class PackedSceneW:
     """Host-packed BVH8 tables, uploaded once."""
@@ -173,9 +178,11 @@ def _make_kernel(any_hit: bool):
                 vals.append(jnp.max(jnp.where(sel, cmeta,
                                               jnp.int32(-2147483647))))
 
-            # ascending sort by packet-min tn (batcher network for 8)
-            import os as _os
-            pairs = [] if _os.environ.get("BVH8_NOSORT") else [
+            # ascending sort by packet-min tn (batcher network for 8).
+            # _NOSORT is read ONCE at import (module top): these knobs are
+            # compile-time only — they are baked into the jit cache, so
+            # changing the env var mid-process has no effect by design.
+            pairs = [] if _NOSORT else [
                      (0, 1), (2, 3), (4, 5), (6, 7),
                      (0, 2), (1, 3), (4, 6), (5, 7),
                      (1, 2), (5, 6),

@@ -109,7 +109,12 @@ class PackedScene:
 
 import os as _os
 
+# Debug knobs, read ONCE at import: compile-time only. They are baked into
+# the traced kernel + persistent jit cache, so flipping the env var
+# mid-process has (intentionally) no effect. TILE_ROWS above also shifts
+# the usable() VMEM thresholds.
 _USE_ROLL = bool(_os.environ.get("BVH_ROLL_EXTRACT"))
+_TRI_FORI = bool(_os.environ.get("BVH_TRI_FORI"))
 
 
 def _extract_lane(tile: Array, lane) -> Array:
@@ -240,7 +245,7 @@ def _make_kernel(any_hit: bool):
 
             @pl.when(hit_any & is_leaf)
             def _():
-                if not _os.environ.get("BVH_TRI_FORI"):
+                if not _TRI_FORI:  # compile-time knob (module top)
                     # unrolled, branch-free: padded/degenerate triangles are
                     # rejected by det==0 and tj clamped in-range
                     for j in range(MAX_LEAF):

@@ -485,6 +485,10 @@ def parse_file(path: str) -> ParseResult:
             gs.ctm = np.eye(4, dtype=np.float32)
         elif tok == "Camera":
             res.camera_kind = _unquote(ts.next())
+            # reference captures graphicsState.currentOutsideMedium at the
+            # Camera directive (scene.cpp:154): 'MediumInterface "fog"'
+            # pre-world leaves the camera in vacuum
+            builder.set_camera_medium(gs.med_outside)
             p = parse_params(ts)
             res.fov = float(pget(p, "fov", 90.0))
             res.lens_radius = float(pget(p, "lensradius", 0.0))
@@ -708,10 +712,6 @@ def parse_file(path: str) -> ParseResult:
             gs.med_outside = named_media.get(outside, -1) if outside else -1
             if inside and inside not in named_media:
                 warn(f"unknown medium '{inside}'")
-            if not world:
-                # exterior medium of the camera (pbrt camera medium)
-                builder.set_camera_medium(gs.med_outside
-                                          if outside else gs.med_inside)
         elif tok == "Attribute":
             _unquote(ts.next())
             parse_params(ts)

@@ -275,8 +275,9 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
     coefficient stack (the TextureEvaluator analog; nearest filtering).
 
     MixMaterial is resolved here exactly like the reference's wavefront path
-    resolves it *before* material evaluation (MixMaterial::ChooseMaterial):
-    a per-lane uniform picks sub-material A with probability `amount`."""
+    resolves it *before* material evaluation (MixMaterial::ChooseMaterial,
+    materials.h:293): u < amount picks materials[1], so amount=0 selects the
+    FIRST named material."""
     from ..core import rgb2spec
 
     if mat_all is None:
@@ -306,7 +307,7 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
                 0.0, 1.0)
             amount = jnp.where(amount < 0, tval, amount)
         resolved = jnp.where(is_mix,
-                             jnp.where(u_mix < amount, sub_a, sub_b), mat_id)
+                             jnp.where(u_mix < amount, sub_b, sub_a), mat_id)
         rec = jnp.where(is_mix[..., None],
                         mat_all[jnp.maximum(resolved, 0)], rec)
     coeffs = rec[..., 1:4]

@@ -237,7 +237,11 @@ def sample_li(
     t_exit_in = b_in + vm.safe_sqrt(disc_in)
     dist_sphere = jnp.where(outside, ds * (1.0 - 1e-3),
                             jnp.where(disc_in > 0, t_exit_in, 0.0))
-    li_sphere = emit
+    # from inside, a one-sided (twosided=0) sphere shows its BACK faces,
+    # which emit nothing (DiffuseAreaLight::L back-face rule) — match the
+    # BSDF-hit estimate in area_light_l_rec
+    sph_emits = outside | (rec[..., 9] > 0)
+    li_sphere = jnp.where(sph_emits[..., None], emit, 0.0)
 
     is_point = ltype == scene_mod.LIGHT_POINT
     is_dist = ltype == scene_mod.LIGHT_DISTANT

@@ -93,8 +93,8 @@ def _dirto(a: Array, b: Array):
 
 
 def _light_dir_pdf(lrec: Array, ng_l: Array, w: Array) -> Array:
-    """Emission-direction pdf of our SampleLe: cosine hemisphere for area
-    lights (x0.5 two-sided), uniform sphere for point lights."""
+    """Emission-direction pdf of our SampleLe: cosine hemisphere for area +
+    sphere-area lights (x0.5 two-sided), uniform sphere for point lights."""
     ltype = lrec[..., 0].astype(jnp.int32)
     two_sided = lrec[..., 9] > 0
     c = vm.dot(ng_l, w)
@@ -102,8 +102,20 @@ def _light_dir_pdf(lrec: Array, ng_l: Array, w: Array) -> Array:
         two_sided,
         0.5 * sampling.cosine_hemisphere_pdf(jnp.abs(c)),
         jnp.where(c > 0, sampling.cosine_hemisphere_pdf(c), 0.0))
-    return jnp.where(ltype == scene_mod.LIGHT_AREA_TRI, pdf_area,
-                     sampling.UNIFORM_SPHERE_PDF)
+    is_surf = ((ltype == scene_mod.LIGHT_AREA_TRI)
+               | (ltype == scene_mod.LIGHT_SPHERE_AREA))
+    return jnp.where(is_surf, pdf_area, sampling.UNIFORM_SPHERE_PDF)
+
+
+def _light_origin_area(lrec: Array, tri_area: Array) -> Array:
+    """Surface area the light-origin position pdf is uniform over:
+    the emitting triangle for per-tri area lights, 4 pi r^2 for the
+    analytic sphere light (PdfLightOrigin's pdfPos counterpart)."""
+    ltype = lrec[..., 0].astype(jnp.int32)
+    r = lrec[..., 8]
+    sph_area = jnp.maximum(4.0 * jnp.pi * r * r, 1e-12)
+    return jnp.where(ltype == scene_mod.LIGHT_SPHERE_AREA, sph_area,
+                     jnp.maximum(tri_area, 1e-12))
 
 
 def _random_walk(scene, isect_closest, mat_all, o, d, beta, pdf_dir, n_steps,
@@ -301,12 +313,13 @@ def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
             tri_a0 = jnp.where(is_area0, jnp.maximum(
                 triangle.area(tv[..., 0:3], tv[..., 3:6], tv[..., 6:9]),
                 1e-12), 1.0)
+        origin_a0 = _light_origin_area(lrec0, tri_a0)
         v0 = Vertex(
             p=p0, ns=ng0, ng=ng0, wo=ng0, ctx=None,
             beta=lights.record_spectrum(lrec0, lam) / sel_pmf[..., None],
-            pdf_fwd=jnp.where(is_area0, 1.0 / tri_a0, 1.0) * sel_pmf,
+            pdf_fwd=jnp.where(is_area0, 1.0 / origin_a0, 1.0) * sel_pmf,
             pdf_rev=jnp.zeros((R,)), delta=is_point0, active=act0,
-            light=light_id, tri_area=tri_a0)
+            light=light_id, tri_area=origin_a0)
         pdf_dir0 = _light_dir_pdf(lrec0, ng0, dL)
         oL = vm.offset_ray_origin(p0, vm.face_forward(ng0, dL), dL)
         walk = _random_walk(
@@ -340,7 +353,7 @@ def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
             has_l = pt.active & (pt.light >= 0)
             le = lights.area_light_l_rec(lrec, has_l, pt.ng, pt.wo, lam)
             sel = pmf_of(pt_prev_p, pt.light)
-            cam_rev = {t_s - 1: sel / pt.tri_area}
+            cam_rev = {t_s - 1: sel / _light_origin_area(lrec, pt.tri_area)}
             if t_s >= 2:
                 pdf_dir = _light_dir_pdf(lrec, pt.ng, -pt.wo)
                 cam_rev[t_s - 2] = _to_area(
@@ -384,16 +397,23 @@ def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
             tv = scene.tri_shade[jnp.maximum(tid, 0), 0:9]
             ng_q = triangle.geometric_normal(tv[..., 0:3], tv[..., 3:6],
                                              tv[..., 6:9])
+            # analytic sphere light: surface normal at the sampled point,
+            # origin pdf over the full 4 pi r^2 (tid above is the radius
+            # bit-pattern for spheres — ignore it there)
+            is_sph_q = ltype == scene_mod.LIGHT_SPHERE_AREA
+            ng_sph = vm.normalize(q_p - lrec[..., 1:4])
+            ng_q = jnp.where(is_sph_q[..., None], ng_sph, ng_q)
             tri_aq = jnp.maximum(triangle.area(
                 tv[..., 0:3], tv[..., 3:6], tv[..., 6:9]), 1e-12)
-            is_area_q = ltype == scene_mod.LIGHT_AREA_TRI
+            origin_aq = _light_origin_area(lrec, tri_aq)
+            is_area_q = (ltype == scene_mod.LIGHT_AREA_TRI) | is_sph_q
             q_delta = ls.is_delta
             q_vert = Vertex(
                 p=q_p, ns=ng_q, ng=ng_q, wo=-ls.wi, ctx=None,
                 beta=ls.li, pdf_fwd=jnp.where(
-                    is_area_q, sel_pmf / tri_aq, sel_pmf),
+                    is_area_q, sel_pmf / origin_aq, sel_pmf),
                 pdf_rev=jnp.zeros((R,)), delta=q_delta, active=want,
-                light=lid, tri_area=tri_aq)
+                light=lid, tri_area=origin_aq)
             lig_rev = {0: jnp.where(
                 q_delta, 0.0, _to_area(pdf_b, pt.p, q_p, ng_q))}
             pdf_dir_q = _light_dir_pdf(lrec, ng_q, -ls.wi)

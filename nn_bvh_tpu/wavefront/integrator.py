@@ -455,17 +455,20 @@ def make_wave_fn(
     cam: camera_mod.Camera,
     sampler_cfg: samplers.SamplerConfig,
     cfg: IntegratorConfig,
+    isect: "dispatch.Intersectors | None" = None,
 ):
     """Build the jitted 1-spp wave function: film, sample_idx -> film.
 
     The scene/BVH arrays are closed over (donated film threads through), the
     static config (image size, depth, sampler kind) is baked into the trace.
+    `isect` overrides the traversal backend (tests / profiling).
     """
 
     # build host-side tables first, then upload everything exactly once
     # (device->host readback over the TPU tunnel is extremely slow)
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
-    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
     scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
 
     # every large array crosses the jit boundary as an ARGUMENT: closing over

@@ -103,17 +103,25 @@ def sample_le(scene, light_all, light_id, lam, u_pos, u_dir):
     beta_pt = emit / sampling.UNIFORM_SPHERE_PDF
 
     # sphere area light: uniform area point + cosine direction off the
-    # outward normal (Sphere::SampleLe semantics)
+    # outward normal (Sphere::SampleLe semantics); two-sided spheres (e.g.
+    # emissive furnace shells seen from inside) flip to the inward normal
+    # with probability 1/2, mirroring the area-tri branch above
     radius = rec[..., 8]
     n_sph = sampling.sample_uniform_sphere(u_pos)
     p_sph = lpos + radius[..., None] * n_sph
-    d_sph_local = sampling.sample_cosine_hemisphere(u_dir)
-    d_sph = vm.from_local(n_sph, d_sph_local)
-    cos_sph = jnp.maximum(vm.dot(n_sph, d_sph), 0.0)
+    flip_s = two_sided & (u_dir[..., 0] <= 0.5)
+    u0s = jnp.where(flip_s, 1.0 - 2.0 * u_dir[..., 0], jnp.where(
+        two_sided, 2.0 * u_dir[..., 0] - 1.0, u_dir[..., 0]))
+    n_sph_eff = jnp.where(flip_s[..., None], -n_sph, n_sph)
+    d_sph_local = sampling.sample_cosine_hemisphere(
+        jnp.stack([u0s, u_dir[..., 1]], -1))
+    d_sph = vm.from_local(n_sph_eff, d_sph_local)
+    cos_sph = jnp.maximum(vm.dot(n_sph_eff, d_sph), 0.0)
     area_sph = jnp.maximum(4.0 * jnp.pi * radius * radius, 1e-12)
     pdf_dir_sph = sampling.cosine_hemisphere_pdf(cos_sph)
     beta_sph = emit * (cos_sph * area_sph
                        / jnp.maximum(pdf_dir_sph, 1e-20))[..., None]
+    beta_sph = jnp.where(two_sided[..., None], beta_sph * 2.0, beta_sph)
 
     is_area = ltype == scene_mod.LIGHT_AREA_TRI
     is_point = ltype == scene_mod.LIGHT_POINT
