@@ -173,7 +173,9 @@ def sample_li(
 
     # ---- area triangle (verts via one tri_shade gather) ------------------
     tri_idx = rec[..., 8].astype(jnp.int32)
-    tv = scene.tri_shade[jnp.maximum(tri_idx, 0), 0:9]  # 1 gather
+    # gather FULL rows then slice: tri_shade[idx, 0:9] (gather with a
+    # sliced minor dim) lowers to a ~50x slower XLA gather on TPU
+    tv = scene.tri_shade[jnp.maximum(tri_idx, 0)][..., 0:9]  # 1 gather
     v0, v1, v2 = tv[..., 0:3], tv[..., 3:6], tv[..., 6:9]
     bary, pdf_sa, degen = sampling.sample_spherical_triangle(v0, v1, v2, p, u2)
     lp = bary[..., 0:1] * v0 + bary[..., 1:2] * v1 + bary[..., 2:3] * v2

@@ -309,7 +309,7 @@ def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
         tri_a0 = jnp.ones((R,))
         if True:  # area of the emitting triangle (for light-origin pdf)
             tid = lrec0[..., 8].astype(jnp.int32)
-            tv = scene.tri_shade[jnp.maximum(tid, 0), 0:9]
+            tv = scene.tri_shade[jnp.maximum(tid, 0)][..., 0:9]
             tri_a0 = jnp.where(is_area0, jnp.maximum(
                 triangle.area(tv[..., 0:3], tv[..., 3:6], tv[..., 6:9]),
                 1e-12), 1.0)
@@ -394,7 +394,7 @@ def trace_bdpt_wave(scene, dbvh, cam, sampler_cfg, cfg: IntegratorConfig,
             q_p = pt.p + ls.wi * jnp.where(
                 jnp.isfinite(ls.dist), ls.dist, 1.0)[..., None]
             tid = lrec[..., 8].astype(jnp.int32)
-            tv = scene.tri_shade[jnp.maximum(tid, 0), 0:9]
+            tv = scene.tri_shade[jnp.maximum(tid, 0)][..., 0:9]
             ng_q = triangle.geometric_normal(tv[..., 0:3], tv[..., 3:6],
                                              tv[..., 6:9])
             # analytic sphere light: surface normal at the sampled point,

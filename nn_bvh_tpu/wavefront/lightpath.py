@@ -75,7 +75,7 @@ def sample_le(scene, light_all, light_id, lam, u_pos, u_dir):
 
     # area triangle: uniform area point + cosine-weighted direction
     tri_idx = rec[..., 8].astype(jnp.int32)
-    tv = scene.tri_shade[jnp.maximum(tri_idx, 0), 0:9]
+    tv = scene.tri_shade[jnp.maximum(tri_idx, 0)][..., 0:9]
     v0, v1, v2 = tv[..., 0:3], tv[..., 3:6], tv[..., 6:9]
     bary = sampling.sample_uniform_triangle(u_pos)
     p_area = (bary[..., 0:1] * v0 + bary[..., 1:2] * v1 + bary[..., 2:3] * v2)
