@@ -55,7 +55,19 @@ class PackedSceneHBM:
         self.hbm_bytes = (self.node_tab.size + self.tri_tab.size) * 4
 
 
+from .pallas_traverse import N_PACKETS
+
+
 def _make_kernel(any_hit: bool):
+    """Lockstep-M-packet HBM traversal: same structure as
+    pallas_traverse._make_kernel (M independent per-packet stacks in one
+    while loop, vector-register box fields, unconditional pushes) with the
+    direct-mapped VMEM block cache of this module in front of the node and
+    triangle tables. Cache fills are pl.when-gated (branch taken only on
+    miss; tags persist across the sequential ray-tile grid)."""
+    M = N_PACKETS
+    rpp = TILE_ROWS // M
+
     def kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         node_hbm, tri_hbm,
@@ -108,104 +120,119 @@ def _make_kernel(any_hit: bool):
 
             return slot
 
-        ox = ox_ref[...]
-        oy = oy_ref[...]
-        oz = oz_ref[...]
-        dx = dx_ref[...]
-        dy = dy_ref[...]
-        dz = dz_ref[...]
-        t0 = tmax_ref[...]
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        t_ref[...] = tmax_ref[...]
+        if any_hit:
+            prim_ref[...] = jnp.where(tmax_ref[...] < 0.0, 0, -1).astype(jnp.int32)
+        else:
+            prim_ref[...] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+        b1_ref[...] = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
+        b2_ref[...] = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
 
         tiny = 1e-20
-        safe = lambda c: jnp.where(jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c)
-        inv_dx = 1.0 / safe(dx)
-        inv_dy = 1.0 / safe(dy)
-        inv_dz = 1.0 / safe(dz)
+        packs = []
+        sp0 = []
+        for p in range(M):
+            sl = pl.ds(p * rpp, rpp)
+            ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+            dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+            t0 = tmax_ref[sl, :]
+            safe = lambda c: jnp.where(jnp.abs(c) < tiny,
+                                       jnp.where(c < 0, -tiny, tiny), c)
+            inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
+            neg = ((jnp.sum(dx) < 0.0).astype(jnp.int32),
+                   (jnp.sum(dy) < 0.0).astype(jnp.int32),
+                   (jnp.sum(dz) < 0.0).astype(jnp.int32))
+            live = jnp.any(t0 >= 0.0) if any_hit else jnp.any(t0 > 0.0)
+            packs.append((ox, oy, oz, dx, dy, dz, inv, neg))
+            stack_ref[p * STACK_DEPTH] = 0
+            sp0.append(jnp.where(live, 0, -1))
 
-        t_ref[...] = t0
-        if any_hit:
-            prim_ref[...] = jnp.where(t0 < 0.0, 0, -1).astype(jnp.int32)
-        else:
-            prim_ref[...] = jnp.full_like(t0, -1.0).astype(jnp.int32)
-        b1_ref[...] = jnp.zeros_like(t0)
-        b2_ref[...] = jnp.zeros_like(t0)
+        def cond(sps):
+            alive = sps[0] >= 0
+            for p in range(1, M):
+                alive = alive | (sps[p] >= 0)
+            return alive
 
-        neg_x = (jnp.sum(dx) < 0.0).astype(jnp.int32)
-        neg_y = (jnp.sum(dy) < 0.0).astype(jnp.int32)
-        neg_z = (jnp.sum(dz) < 0.0).astype(jnp.int32)
+        def body(sps):
+            sps = list(sps)
+            metas = []
+            for p in range(M):
+                ox, oy, oz, dx, dy, dz, inv, neg = packs[p]
+                sp = sps[p]
+                alive = sp >= 0
+                node = stack_ref[p * STACK_DEPTH + jnp.maximum(sp, 0)]
+                nslot = fill_node(node // LANES)
+                tile = ncache_ref[nslot]                       # (8, 128)
+                lane = jax.lax.rem(node, LANES)
+                sel = iota_l == lane
+                fv = jnp.max(jnp.where(sel, tile, -_BIG), axis=1, keepdims=True)
+                meta = jnp.max(jnp.where(sel, tile[6:8], -_BIG), axis=1)
+                offset = meta[0].astype(jnp.int32)
+                cnt_axis = meta[1].astype(jnp.int32)
+                count = jax.lax.rem(cnt_axis, 32)
+                axis = cnt_axis // 32
+                fvb = jnp.broadcast_to(fv, (8, LANES))
+                box = tuple(fvb[i:i + 1] for i in range(6))
+                t_best = t_ref[pl.ds(p * rpp, rpp), :]
+                hit_any = jnp.any(
+                    _slab_tile(ox, oy, oz, inv[0], inv[1], inv[2], t_best,
+                               box[0:3], box[3:6])) & alive
+                metas.append((node, offset, count, axis, hit_any))
 
-        stack_ref[0] = 0
-        # dead/finished packet: skip the root entirely
-        live = jnp.any(t0 >= 0.0) if any_hit else jnp.any(t0 > 0.0)
+            for p in range(M):
+                ox, oy, oz, dx, dy, dz, inv, neg = packs[p]
+                node, offset, count, axis, hit_any = metas[p]
+                is_leaf = count > 0
+                descend = hit_any & jnp.logical_not(is_leaf)
+                ng = jnp.where(axis == 0, neg[0],
+                               jnp.where(axis == 1, neg[1], neg[2]))
+                near = jnp.where(ng == 1, offset, node + 1)
+                far = jnp.where(ng == 1, node + 1, offset)
+                sp = sps[p]
+                spc = p * STACK_DEPTH + jnp.maximum(sp, 0)
+                stack_ref[spc] = jnp.where(descend, far, node)
+                stack_ref[spc + 1] = near
+                if any_hit:
+                    done = jnp.all(prim_ref[pl.ds(p * rpp, rpp), :] >= 0)
+                    sps[p] = jnp.where(done, -1,
+                                       jnp.where(descend, sp + 1, sp - 1))
+                else:
+                    sps[p] = jnp.where(descend, sp + 1, sp - 1)
 
-        def cond(carry):
-            sp, done = carry
-            return (sp >= 0) & jnp.logical_not(done)
-
-        def body(carry):
-            sp, done = carry
-            node = stack_ref[sp]
-            sp = sp - 1
-
-            nslot = fill_node(node // LANES)
-            tile = ncache_ref[nslot]                       # (8, 128)
-            f = _extract_lane(tile, jax.lax.rem(node, LANES))
-            offset = f[6].astype(jnp.int32)
-            cnt_axis = f[7].astype(jnp.int32)
-            count = jax.lax.rem(cnt_axis, 32)
-            axis = cnt_axis // 32
-
-            t_best = t_ref[...]
-            hit_any = jnp.any(
-                _slab_tile(ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
-                           (f[0], f[1], f[2]), (f[3], f[4], f[5]))
-            )
-            is_leaf = count > 0
-
-            @pl.when(hit_any & is_leaf)
-            def _():
-                # leaf tris are a contiguous range spanning <= 2 blocks
-                blk0 = offset // LANES
-                blk1 = (offset + count - 1) // LANES
-                slot0 = fill_tri(blk0)
-                slot1 = fill_tri(blk1)
-
-                def tri_body(j, _):
-                    @pl.when(j < count)
-                    def _():
-                        tj = offset + j
+                @pl.when(hit_any & is_leaf)
+                def _(p=p, offset=offset, count=count, ox=ox, oy=oy, oz=oz,
+                      dx=dx, dy=dy, dz=dz):
+                    sl = pl.ds(p * rpp, rpp)
+                    # leaf tris are a contiguous range spanning <= 2 blocks
+                    blk0 = offset // LANES
+                    blk1 = (offset + count - 1) // LANES
+                    slot0 = fill_tri(blk0)
+                    slot1 = fill_tri(blk1)
+                    t_best = t_ref[sl, :]
+                    prim = prim_ref[sl, :]
+                    b1a = b1_ref[sl, :]
+                    b2a = b2_ref[sl, :]
+                    for j in range(MAX_LEAF):
+                        tj = jnp.minimum(offset + j, offset + count - 1)
                         tslot = jnp.where(tj // LANES == blk0, slot0, slot1)
                         tri_tile = tcache_ref[tslot]
                         v = _extract_lane(tri_tile, jax.lax.rem(tj, LANES))
-                        tb = t_ref[...]
-                        h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz, tb, v)
-                        t_ref[...] = jnp.where(h, t, tb)
-                        prim_ref[...] = jnp.where(h, tj, prim_ref[...])
-                        b1_ref[...] = jnp.where(h, b1, b1_ref[...])
-                        b2_ref[...] = jnp.where(h, b2, b2_ref[...])
+                        h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz,
+                                                       t_best, v)
+                        h = h & (j < count)
+                        t_best = jnp.where(h, t, t_best)
+                        prim = jnp.where(h, tj, prim)
+                        b1a = jnp.where(h, b1, b1a)
+                        b2a = jnp.where(h, b2, b2a)
+                    t_ref[sl, :] = t_best
+                    prim_ref[sl, :] = prim
+                    b1_ref[sl, :] = b1a
+                    b2_ref[sl, :] = b2a
 
-                    return 0
+            return tuple(sps)
 
-                jax.lax.fori_loop(0, MAX_LEAF, tri_body, 0)
-
-            descend = hit_any & jnp.logical_not(is_leaf)
-            neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
-            near = jnp.where(neg == 1, offset, node + 1)
-            far = jnp.where(neg == 1, node + 1, offset)
-
-            @pl.when(descend)
-            def _():
-                stack_ref[sp + 1] = far
-                stack_ref[sp + 2] = near
-
-            sp = jnp.where(descend, sp + 2, sp)
-            if any_hit:
-                done = jnp.all(prim_ref[...] >= 0)
-            return (sp, done)
-
-        jax.lax.while_loop(
-            cond, body, (jnp.where(live, 0, -1), jnp.asarray(False))
-        )
+        jax.lax.while_loop(cond, body, tuple(sp0))
 
     return kernel
 
@@ -248,7 +275,7 @@ def _traverse_hbm(node_tab, tri_tab, o, d, t_max,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH * N_PACKETS,), jnp.int32),
             pltpu.SMEM((NODE_SLOTS,), jnp.int32),
             pltpu.SMEM((TRI_SLOTS,), jnp.int32),
             pltpu.VMEM((NODE_SLOTS, 8, LANES), jnp.float32),

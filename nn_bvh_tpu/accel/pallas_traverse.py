@@ -181,119 +181,147 @@ def _tri_isect_tile(ox, oy, oz, dx, dy, dz, t_best, v):
     return hit, t, b1, b2
 
 
+N_PACKETS = int(_os.environ.get("BVH_N_PACKETS", "4"))  # compile-time only
+
+
 def _make_kernel(any_hit: bool):
+    """Lockstep-M-packet traversal (see module docstring + tools/perf/).
+
+    Measured on v5e: one node visit's dependent chain (dynamic VMEM load ->
+    masked-max lane extract -> scalar read -> next address) costs ~160ns
+    alone, but M independent chains in one loop body overlap to ~46ns each.
+    So the (TILE_ROWS, 128) ray tile is split into M = N_PACKETS independent
+    packets, each with its own SMEM stack, traversed in lockstep inside ONE
+    while loop. Node box fields stay in vector registers ((8,1) lane-reduced
+    + lane-broadcast); only offset/meta/hit_any cross to the scalar unit.
+    Stack pushes are unconditional (writes above top-of-stack are harmless).
+    Leaf tests run on the packet's (TILE_ROWS/M, 128) sub-tile, cutting the
+    wasted ray-triangle tests by M vs a full-tile kernel.
+    65k incoherent sorted bounce rays: 40.3ms -> 22.7ms vs the single-packet
+    kernel; camera 10.0 -> 7.4ms (the same scene/batch as BASELINE.md).
+    """
+    M = N_PACKETS
+    rpp = TILE_ROWS // M
+
     def kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         node_ref, tri_ref,
         t_ref, prim_ref, b1_ref, b2_ref,
         stack_ref,
     ):
-        ox = ox_ref[...]
-        oy = oy_ref[...]
-        oz = oz_ref[...]
-        dx = dx_ref[...]
-        dy = dy_ref[...]
-        dz = dz_ref[...]
-        t0 = tmax_ref[...]
-
-        tiny = 1e-20
-        safe = lambda c: jnp.where(jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c)
-        inv_dx = 1.0 / safe(dx)
-        inv_dy = 1.0 / safe(dy)
-        inv_dz = 1.0 / safe(dz)
-
-        t_ref[...] = t0
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        t_ref[...] = tmax_ref[...]
         if any_hit:
             # inactive (t_max < 0) lanes count as occluded so the all-done
             # early exit can fire in padded tiles
-            prim_ref[...] = jnp.where(t0 < 0.0, 0, -1).astype(jnp.int32)
+            prim_ref[...] = jnp.where(tmax_ref[...] < 0.0, 0, -1).astype(jnp.int32)
         else:
-            prim_ref[...] = jnp.full_like(t0, -1.0).astype(jnp.int32)
-        b1_ref[...] = jnp.zeros_like(t0)
-        b2_ref[...] = jnp.zeros_like(t0)
+            prim_ref[...] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+        b1_ref[...] = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
+        b2_ref[...] = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
 
-        neg_x = (jnp.sum(dx) < 0.0).astype(jnp.int32)
-        neg_y = (jnp.sum(dy) < 0.0).astype(jnp.int32)
-        neg_z = (jnp.sum(dz) < 0.0).astype(jnp.int32)
+        tiny = 1e-20
+        packs = []
+        sp0 = []
+        for p in range(M):
+            sl = pl.ds(p * rpp, rpp)
+            ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+            dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+            t0 = tmax_ref[sl, :]
+            safe = lambda c: jnp.where(jnp.abs(c) < tiny,
+                                       jnp.where(c < 0, -tiny, tiny), c)
+            inv = (1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz))
+            neg = ((jnp.sum(dx) < 0.0).astype(jnp.int32),
+                   (jnp.sum(dy) < 0.0).astype(jnp.int32),
+                   (jnp.sum(dz) < 0.0).astype(jnp.int32))
+            # dead/finished packet (sorted waves cluster dead lanes): skip root
+            live = jnp.any(t0 >= 0.0) if any_hit else jnp.any(t0 > 0.0)
+            packs.append((ox, oy, oz, dx, dy, dz, inv, neg))
+            stack_ref[p * STACK_DEPTH] = 0
+            sp0.append(jnp.where(live, 0, -1))
 
-        stack_ref[0] = 0
-        # all-dead packet (sorted waves cluster dead lanes): skip even the root
-        live = jnp.any(t0 >= 0.0) if any_hit else jnp.any(t0 > 0.0)
+        def cond(sps):
+            alive = sps[0] >= 0
+            for p in range(1, M):
+                alive = alive | (sps[p] >= 0)
+            return alive
 
-        def cond(carry):
-            sp, done = carry
-            return (sp >= 0) & jnp.logical_not(done)
+        def body(sps):
+            sps = list(sps)
+            # phase 1: M independent pop+load+slab chains (ILP)
+            metas = []
+            for p in range(M):
+                ox, oy, oz, dx, dy, dz, inv, neg = packs[p]
+                sp = sps[p]
+                alive = sp >= 0
+                node = stack_ref[p * STACK_DEPTH + jnp.maximum(sp, 0)]
+                tile = node_ref[pl.ds((node // LANES) * 8, 8), :]
+                lane = jax.lax.rem(node, LANES)
+                sel = iota_l == lane
+                fv = jnp.max(jnp.where(sel, tile, -_BIG), axis=1, keepdims=True)
+                meta = jnp.max(jnp.where(sel, tile[6:8], -_BIG), axis=1)
+                offset = meta[0].astype(jnp.int32)
+                cnt_axis = meta[1].astype(jnp.int32)
+                count = jax.lax.rem(cnt_axis, 32)
+                axis = cnt_axis // 32
+                fvb = jnp.broadcast_to(fv, (8, LANES))  # lane-only broadcast
+                box = tuple(fvb[i:i + 1] for i in range(6))
+                t_best = t_ref[pl.ds(p * rpp, rpp), :]
+                hit_any = jnp.any(
+                    _slab_tile(ox, oy, oz, inv[0], inv[1], inv[2], t_best,
+                               box[0:3], box[3:6])) & alive
+                metas.append((node, offset, count, axis, hit_any))
 
-        def body(carry):
-            sp, done = carry
-            node = stack_ref[sp]
-            sp = sp - 1
+            # phase 2: branchless stack update + pl.when-gated leaf tests
+            for p in range(M):
+                ox, oy, oz, dx, dy, dz, inv, neg = packs[p]
+                node, offset, count, axis, hit_any = metas[p]
+                is_leaf = count > 0
+                descend = hit_any & jnp.logical_not(is_leaf)
+                ng = jnp.where(axis == 0, neg[0],
+                               jnp.where(axis == 1, neg[1], neg[2]))
+                near = jnp.where(ng == 1, offset, node + 1)
+                far = jnp.where(ng == 1, node + 1, offset)
+                sp = sps[p]
+                spc = p * STACK_DEPTH + jnp.maximum(sp, 0)
+                stack_ref[spc] = jnp.where(descend, far, node)
+                stack_ref[spc + 1] = near
+                if any_hit:
+                    done = jnp.all(prim_ref[pl.ds(p * rpp, rpp), :] >= 0)
+                    sps[p] = jnp.where(done, -1,
+                                       jnp.where(descend, sp + 1, sp - 1))
+                else:
+                    sps[p] = jnp.where(descend, sp + 1, sp - 1)
 
-            tile = node_ref[pl.ds((node // LANES) * 8, 8), :]  # (8, 128)
-            f = _extract_lane(tile, node % LANES)              # (8,)
-            offset = f[6].astype(jnp.int32)
-            cnt_axis = f[7].astype(jnp.int32)
-            count = jax.lax.rem(cnt_axis, 32)
-            axis = cnt_axis // 32
-
-            t_best = t_ref[...]
-            hit_any = jnp.any(
-                _slab_tile(ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
-                           (f[0], f[1], f[2]), (f[3], f[4], f[5]))
-            )
-            is_leaf = count > 0
-
-            @pl.when(hit_any & is_leaf)
-            def _():
-                if not _TRI_FORI:  # compile-time knob (module top)
+                @pl.when(hit_any & is_leaf)
+                def _(p=p, offset=offset, count=count, ox=ox, oy=oy, oz=oz,
+                      dx=dx, dy=dy, dz=dz):
+                    sl = pl.ds(p * rpp, rpp)
+                    t_best = t_ref[sl, :]
+                    prim = prim_ref[sl, :]
+                    b1a = b1_ref[sl, :]
+                    b2a = b2_ref[sl, :]
                     # unrolled, branch-free: padded/degenerate triangles are
                     # rejected by det==0 and tj clamped in-range
                     for j in range(MAX_LEAF):
                         tj = jnp.minimum(offset + j, offset + count - 1)
                         tri_tile = tri_ref[pl.ds((tj // LANES) * 9, 9), :]
-                        v = _extract_lane(tri_tile, tj % LANES)  # (9,)
-                        tb = t_ref[...]
-                        h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz, tb, v)
+                        v = _extract_lane(tri_tile, jax.lax.rem(tj, LANES))
+                        h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz,
+                                                       t_best, v)
                         h = h & (j < count)
-                        t_ref[...] = jnp.where(h, t, tb)
-                        prim_ref[...] = jnp.where(h, tj, prim_ref[...])
-                        b1_ref[...] = jnp.where(h, b1, b1_ref[...])
-                        b2_ref[...] = jnp.where(h, b2, b2_ref[...])
-                else:
-                    def tri_body(j, _):
-                        @pl.when(j < count)
-                        def _():
-                            tj = offset + j
-                            tri_tile = tri_ref[pl.ds((tj // LANES) * 9, 9), :]
-                            v = _extract_lane(tri_tile, tj % LANES)  # (9,)
-                            tb = t_ref[...]
-                            h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz, tb, v)
-                            t_ref[...] = jnp.where(h, t, tb)
-                            prim_ref[...] = jnp.where(h, tj, prim_ref[...])
-                            b1_ref[...] = jnp.where(h, b1, b1_ref[...])
-                            b2_ref[...] = jnp.where(h, b2, b2_ref[...])
-                        return 0
+                        t_best = jnp.where(h, t, t_best)
+                        prim = jnp.where(h, tj, prim)
+                        b1a = jnp.where(h, b1, b1a)
+                        b2a = jnp.where(h, b2, b2a)
+                    t_ref[sl, :] = t_best
+                    prim_ref[sl, :] = prim
+                    b1_ref[sl, :] = b1a
+                    b2_ref[sl, :] = b2a
 
-                    jax.lax.fori_loop(0, MAX_LEAF, tri_body, 0)
+            return tuple(sps)
 
-            descend = hit_any & jnp.logical_not(is_leaf)
-            neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
-            near = jnp.where(neg == 1, offset, node + 1)
-            far = jnp.where(neg == 1, node + 1, offset)
-
-            @pl.when(descend)
-            def _():
-                stack_ref[sp + 1] = far
-                stack_ref[sp + 2] = near
-
-            sp = jnp.where(descend, sp + 2, sp)
-            if any_hit:
-                done = jnp.all(prim_ref[...] >= 0)
-            return (sp, done)
-
-        jax.lax.while_loop(
-            cond, body, (jnp.where(live, 0, -1), jnp.asarray(False))
-        )
+        jax.lax.while_loop(cond, body, tuple(sp0))
 
     return kernel
 
@@ -340,7 +368,7 @@ def _traverse_packed(node_tab, tri_tab, o, d, t_max,
         in_specs=[ray_spec] * 7 + [full(node_tab), full(tri_tab)],
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH * N_PACKETS,), jnp.int32)],
         interpret=interpret,
     )(*args, node_tab, tri_tab)
 
