@@ -221,7 +221,14 @@ def _make_kernel(any_hit: bool):
                         h, t, b1, b2 = _tri_isect_tile(ox, oy, oz, dx, dy, dz,
                                                        t_best, v)
                         h = h & (j < count)
-                        t_best = jnp.where(h, t, t_best)
+                        if any_hit:
+                            # kill hit lanes outright: t_best = -BIG removes
+                            # them from every later slab test, so occluded
+                            # packets stop driving descent and the all-done
+                            # exit fires sooner
+                            t_best = jnp.where(h, -_BIG, t_best)
+                        else:
+                            t_best = jnp.where(h, t, t_best)
                         prim = jnp.where(h, tj, prim)
                         b1a = jnp.where(h, b1, b1a)
                         b2a = jnp.where(h, b2, b2a)

@@ -204,8 +204,27 @@ _MATERIAL_MAP = {
     "dielectric": ("dielectric", None),
     "thindielectric": ("thindielectric", None),
     "diffusetransmission": ("diffusetransmission", None),
+    "subsurface": ("subsurface", None),
     "": ("diffuse", "empty material -> diffuse"),
     "none": ("interface", None),
+}
+
+# measured scattering properties of named media (the reference's
+# GetMediumScatteringProperties table, media.cpp — physical data from
+# Jensen et al. 2001 / Narasimhan et al. 2006; sigma_a / sigma_prime_s
+# in mm^-1 as pbrt stores them)
+_NAMED_SSS = {
+    # name: (sigma_a rgb, sigma_s rgb)
+    "Apple": ((0.0030, 0.0034, 0.046), (2.29, 2.39, 1.97)),
+    "Chicken1": ((0.015, 0.077, 0.19), (0.15, 0.21, 0.38)),
+    "Cream": ((0.0002, 0.0028, 0.0163), (7.38, 5.47, 3.15)),
+    "Ketchup": ((0.061, 0.97, 1.45), (0.18, 0.07, 0.03)),
+    "Marble": ((0.0021, 0.0041, 0.0071), (2.19, 2.62, 3.00)),
+    "Potato": ((0.0024, 0.0090, 0.12), (0.68, 0.70, 0.55)),
+    "Skimmilk": ((0.0014, 0.0025, 0.0142), (0.70, 1.22, 1.90)),
+    "Skin1": ((0.032, 0.17, 0.48), (0.74, 0.88, 1.01)),
+    "Skin2": ((0.013, 0.070, 0.145), (1.09, 1.59, 1.79)),
+    "Wholemilk": ((0.0011, 0.0024, 0.014), (2.55, 3.21, 3.77)),
 }
 
 
@@ -337,6 +356,28 @@ def parse_file(path: str) -> ParseResult:
                                         eta_spectrum=eta_spec, k_spectrum=k_spec,
                                         coat_roughness=float(crough)
                                         if not isinstance(crough, str) else 0.0)
+        if kind == "subsurface":
+            # SubsurfaceMaterial (materials.h:696): named preset via "name"
+            # (mfp or sigma_a/sigma_s RGB), scale, g, eta
+            sa = np.asarray(pget(params, "sigma_a", (0.0011, 0.0024, 0.014)),
+                            np.float32)
+            ss = np.asarray(pget(params, "sigma_s", (2.55, 3.21, 3.77)),
+                            np.float32)
+            nm = params.get("name")
+            if nm is not None and nm["values"]:
+                preset = _NAMED_SSS.get(str(nm["values"][0]))
+                if preset is None:
+                    warn(f"unknown subsurface preset '{nm['values'][0]}'")
+                else:
+                    sa = np.asarray(preset[0], np.float32)
+                    ss = np.asarray(preset[1], np.float32)
+            scl = float(pget(params, "scale", 1.0))
+            g_hg = float(pget(params, "g", 0.0))
+            eta_sss = float(pget(params, "eta", 1.33))
+            return builder.add_material(
+                "subsurface", sigma_a=tuple(sa), sigma_s=tuple(ss),
+                sss_scale=scl, g=g_hg, eta=eta_sss,
+                roughness=float(rough) if not isinstance(rough, str) else 0.0)
         if kind == "coateddiffuse":
             return builder.add_material(kind, reflectance=refl,
                                         roughness=0.0, eta=float(eta),

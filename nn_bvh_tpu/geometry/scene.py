@@ -35,6 +35,10 @@ MAT_COATED_CONDUCTOR = 6
 MAT_MIX = 7
 MAT_HAIR = 8
 MAT_MEASURED = 9
+MAT_SUBSURFACE = 10     # SubsurfaceMaterial (materials.h:696): smooth
+#   dielectric entry interface + TabulatedBSSRDF transport (scatter/bssrdf.py)
+MAT_SSS_EXIT = 11       # virtual: NormalizedFresnel exit lobe, set per-lane
+#   by the integrator after a successful probe (never appears in mat_type)
 MAT_INTERFACE = -1  # no material (pass-through)
 
 # light type tags (base/light.h:40 analog)
@@ -175,6 +179,22 @@ class CompiledScene(NamedTuple):
     # Fresnel via one gather + lerp per sampled wavelength.
     spec_tables: Array = None
 
+    # subsurface materials (TabulatedBSSRDF, scatter/bssrdf.py): per-material
+    # RGB sigma chroma (sigmoid-poly coeffs) + scales + g, and the
+    # photon-beam-diffusion tables stacked per material (each built with
+    # that material's g/eta at scene compile). mat_params[3] holds the
+    # per-material sss row id for MAT_SUBSURFACE rows.
+    sss_coeffs_a: Array = None   # (S,3)
+    sss_scale_a: Array = None    # (S,)
+    sss_coeffs_s: Array = None   # (S,3)
+    sss_scale_s: Array = None    # (S,)
+    sss_g: Array = None          # (S,)
+    sss_profile: Array = None    # (S, 64, 64) r*Sr (unit sigma_t)
+    sss_cdf: Array = None        # (S, 64, 64)
+    sss_rho_eff: Array = None    # (S, 64)
+    sss_radius: Array = None     # (64,)
+    sss_rho: Array = None        # (64,)
+
     # static feature gates, computed at build time. They must be STATIC
     # (not traced): the scene is threaded through jit as an ARGUMENT, so
     # inspecting mat_type inside a traced function is impossible — these
@@ -188,6 +208,7 @@ class CompiledScene(NamedTuple):
     # any material with a named-spectrum eta/k table (gates the spectral
     # Fresnel gathers in bxdf.gather_material)
     feat_spectral: bool = False
+    feat_subsurface: bool = False
 
     def replace(self, **kw):
         return self._replace(**kw)
@@ -238,7 +259,8 @@ from ..utils.pytree import register_static as _register_static  # noqa: E402
 
 _register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium",
                                  "feat_mix", "feat_hair", "feat_measured",
-                                 "feat_portal", "feat_spectral"))
+                                 "feat_portal", "feat_spectral",
+                                 "feat_subsurface"))
 
 
 @dataclass
@@ -257,6 +279,7 @@ class SceneBuilder:
     _tri_emit: list = field(default_factory=list)  # (rgb, scale, twosided) or None per mesh
     _tri_med: list = field(default_factory=list)    # (med_inside, med_outside) per mesh
     _materials: list = field(default_factory=list)
+    _sss: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
     _textures: list = field(default_factory=list)   # (TEX_RES,TEX_RES,3) rgb
     _measured: list = field(default_factory=list)   # (No,Ni,Np,3) rgb tables
@@ -339,6 +362,10 @@ class SceneBuilder:
         measured: int = -1,
         eta_spectrum=None,
         k_spectrum=None,
+        sigma_a=(0.0011, 0.0024, 0.014),
+        sigma_s=(2.55, 3.21, 3.77),
+        sss_scale: float = 1.0,
+        g: float = 0.0,
     ) -> int:
         """Material factory (base/material.h tag list). coateddiffuse /
         coatedconductor carry a dielectric coat (eta, coat_roughness) over the
@@ -359,7 +386,18 @@ class SceneBuilder:
             "mix": MAT_MIX,
             "hair": MAT_HAIR,
             "measured": MAT_MEASURED,
+            "subsurface": MAT_SUBSURFACE,
         }
+        if kind == "subsurface":
+            # sss row id rides in the k slot (params[3]); eta defaults to
+            # the skin/marble 1.33 of the reference unless given
+            if eta == 1.5:
+                eta = 1.33
+            k = float(len(self._sss))
+            self._sss.append(dict(
+                sigma_a=np.asarray(sigma_a, np.float32),
+                sigma_s=np.asarray(sigma_s, np.float32),
+                scale=float(sss_scale), g=float(g), eta=float(eta)))
         if kind == "measured":
             # measured table id rides in the (unused) k slot, params[3]
             k = float(measured)
@@ -387,6 +425,36 @@ class SceneBuilder:
             )
         )
         return len(self._materials) - 1
+
+    def _build_sss(self) -> dict:
+        """Compile the subsurface table stack (one beam-diffusion table per
+        sss material, built with ITS g/eta — bssrdf.h:105 keeps one table per
+        TabulatedBSSRDF). Sigma chroma stored as sigmoid-poly coeffs +
+        scales (RGBUnboundedSpectrum analog, like media)."""
+        if not self._sss:
+            return {}
+        from ..core import rgb2spec
+        from ..scatter import bssrdf as bssrdf_mod
+
+        sa = np.stack([m["sigma_a"] for m in self._sss])
+        ss = np.stack([m["sigma_s"] for m in self._sss])
+        scale = np.array([m["scale"] for m in self._sss], np.float32)
+        ca, sca = rgb2spec.rgb_to_coeffs_host(sa)
+        cs, scs = rgb2spec.rgb_to_coeffs_host(ss)
+        tabs = [bssrdf_mod.compute_beam_diffusion_table(m["g"], m["eta"])
+                for m in self._sss]
+        return dict(
+            sss_coeffs_a=ca.astype(np.float32),
+            sss_scale_a=(sca * scale).astype(np.float32),
+            sss_coeffs_s=cs.astype(np.float32),
+            sss_scale_s=(scs * scale).astype(np.float32),
+            sss_g=np.array([m["g"] for m in self._sss], np.float32),
+            sss_profile=np.stack([np.asarray(t.profile) for t in tabs]),
+            sss_cdf=np.stack([np.asarray(t.cdf) for t in tabs]),
+            sss_rho_eff=np.stack([np.asarray(t.rho_eff) for t in tabs]),
+            sss_radius=np.asarray(tabs[0].radius),
+            sss_rho=np.asarray(tabs[0].rho),
+        )
 
     def add_spectrum_table(self, spec) -> int:
         """Register a named spectrum (str name or .spd path), (lam, val)
@@ -882,6 +950,8 @@ class SceneBuilder:
             tri_med_inside=tri_med_in,
             tri_med_outside=tri_med_out,
             feat_mix=bool(np.any(mat_type == MAT_MIX)),
+            feat_subsurface=bool(np.any(mat_type == MAT_SUBSURFACE)),
+            **self._build_sss(),
             feat_hair=bool(np.any(mat_type == MAT_HAIR)),
             feat_measured=bool(np.any(mat_type == MAT_MEASURED)),
             feat_portal=bool(np.any(light_type == LIGHT_PORTAL_ENV)),

@@ -78,6 +78,25 @@ def fr_complex(cos_i: Array, eta: Array, k: Array) -> Array:
 # Trowbridge-Reitz (GGX) microfacet distribution (bxdfs.h TrowbridgeReitzDistribution)
 # ---------------------------------------------------------------------------
 
+def fresnel_moment1(eta: Array) -> Array:
+    """First moment of Fresnel reflectance (polynomial fits, the
+    FresnelMoment1 of bssrdf.cpp / PBR book 11.4.1) — jnp, branch-free."""
+    e2, e3, e4, e5 = eta**2, eta**3, eta**4, eta**5
+    lo = (0.45966 - 1.73965 * eta + 3.37668 * e2 - 3.904945 * e3
+          + 2.49277 * e4 - 0.68441 * e5)
+    hi = (-4.61686 + 11.1136 * eta - 10.4646 * e2 + 5.11455 * e3
+          - 1.27198 * e4 + 0.12746 * e5)
+    return jnp.where(eta < 1.0, lo, hi)
+
+
+def sss_exit_f(eta: Array, abs_cos_i: Array) -> Array:
+    """NormalizedFresnelBxDF value (bssrdf.h Sw): (1 - Fr(cos, eta))/(c pi),
+    the PDF-normalized diffusion exit lobe."""
+    c = 1.0 - 2.0 * fresnel_moment1(1.0 / eta)
+    return (1.0 - fr_dielectric(abs_cos_i, eta)) / jnp.maximum(
+        c * jnp.pi, 1e-6)
+
+
 def tr_d(wm: Array, ax: Array, ay: Array) -> Array:
     t2 = vm.tan2_theta(wm)
     c4 = vm.cos2_theta(wm) ** 2
@@ -445,15 +464,19 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
     f_ccond = f_coat[..., None] + atten * f_cond
     pdf_ccond = p_spec * pdf_coat + (1.0 - p_spec) * pdf_cond
 
+    f_sw = jnp.where(refl_side[..., None],
+                     jnp.broadcast_to(sss_exit_f(ctx.eta, abs_ci)[..., None],
+                                      f_diff.shape), 0.0)
     conds = [
         t == scene_mod.MAT_DIFFUSE,
         t == scene_mod.MAT_CONDUCTOR,
         t == scene_mod.MAT_DIELECTRIC,
         t == scene_mod.MAT_COATED_DIFFUSE,
         t == scene_mod.MAT_COATED_CONDUCTOR,
+        t == scene_mod.MAT_SSS_EXIT,
     ]
-    fs = [f_diff, f_cond, f_diel_r, f_cdiff, f_ccond]
-    pdfs = [pdf_diff, pdf_cond, pdf_diel_r, pdf_cdiff, pdf_ccond]
+    fs = [f_diff, f_cond, f_diel_r, f_cdiff, f_ccond, f_sw]
+    pdfs = [pdf_diff, pdf_cond, pdf_diel_r, pdf_cdiff, pdf_ccond, pdf_diff]
     if ctx.h is not None:
         from . import hair as hair_mod
 
@@ -652,6 +675,11 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
     valid_cd = vm.same_hemisphere(wo, wi_cd)
     valid_cc = vm.same_hemisphere(wo, wi_cc)
 
+    # ---- subsurface exit lobe (NormalizedFresnel Sw, cosine-sampled) ----
+    f_swx = jnp.broadcast_to(
+        sss_exit_f(ctx.eta, vm.abs_cos_theta(wi_diff))[..., None],
+        f_diff.shape)
+
     conds = [
         t == scene_mod.MAT_DIFFUSE,
         t == scene_mod.MAT_CONDUCTOR,
@@ -660,17 +688,20 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
         t == scene_mod.MAT_DIFFUSE_TRANSMISSION,
         t == scene_mod.MAT_COATED_DIFFUSE,
         t == scene_mod.MAT_COATED_CONDUCTOR,
+        t == scene_mod.MAT_SSS_EXIT,
     ]
     zeros_b = jnp.zeros_like(smooth)
     ones_b = jnp.ones_like(smooth)
-    wis = [wi_diff, wi_cond, wi_diel, wi_thin, wi_dt, wi_cd, wi_cc]
-    fss = [f_diff, f_cond, f_diel, f_thin, f_dt, f_cd, f_cc]
-    pdfs = [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt, pdf_cd, pdf_cc]
-    specs = [zeros_b, smooth, smooth, ones_b, zeros_b, zeros_b, zeros_b]
+    wis = [wi_diff, wi_cond, wi_diel, wi_thin, wi_dt, wi_cd, wi_cc, wi_diff]
+    fss = [f_diff, f_cond, f_diel, f_thin, f_dt, f_cd, f_cc, f_swx]
+    pdfs = [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt, pdf_cd, pdf_cc,
+            pdf_diff]
+    specs = [zeros_b, smooth, smooth, ones_b, zeros_b, zeros_b, zeros_b,
+             zeros_b]
     transs = [zeros_b, zeros_b, trans_diel, ~thin_refl, trans_dt,
-              zeros_b, zeros_b]
+              zeros_b, zeros_b, zeros_b]
     valids = [ones_b, valid_cond, valid_diel, ones_b, ones_b,
-              valid_cd, valid_cc]
+              valid_cd, valid_cc, ones_b]
     if ctx.h is not None:
         from . import hair as hair_mod
 

@@ -272,6 +272,16 @@ def trace_wave(
         active = active & (sp.mat >= 0)
         wo_local = vm.to_local(sp.ns, wo)
 
+        # subsurface transition (SampleSubsurface, wavefront/subsurface.cpp
+        # analog): MAT_SUBSURFACE lanes either mirror at the interface or
+        # move sp to a BSSRDF-sampled exit point (statically gated)
+        if bxdf._feat(scene, "feat_subsurface", scene_mod.MAT_SUBSURFACE):
+            from . import subsurface as sss_mod
+
+            sp, ctx, wo_local, beta, active = sss_mod.transition(
+                scene, isect_closest, _shading_point, sp, wo, wo_local, ctx,
+                lam, beta, active, pixel_idx, sidx, depth)
+
         # direct lighting (SampleLd, integrators.cpp:764 / TraceShadowRays)
         if cfg.sample_lights and n_lights > 0:
             u_sel = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 3)
