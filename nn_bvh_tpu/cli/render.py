@@ -121,7 +121,8 @@ def main(argv=None):
                                              seed=args.seed, cfg=cfg)
     else:
         img = integrator.render(sc, dbvh, cam, spp=spp, sampler=sampler,
-                                seed=args.seed, cfg=cfg, wave_callback=wave_cb)
+                                seed=args.seed, cfg=cfg, wave_callback=wave_cb,
+                                sensor=res.make_sensor())
     img.block_until_ready()
     t2 = time.time()
 

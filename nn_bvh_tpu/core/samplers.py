@@ -37,6 +37,8 @@ SOBOL = 2
 HALTON = 3
 ZSOBOL = 4
 TABLE = 5  # u-vector driven (MLT primary-sample-space chains)
+SOBOL_GLOBAL = 6  # full Sobol' matrices, one global sequence (SobolSampler)
+PMJ02 = 7         # generated pmj02 point sets (PMJ02BNSampler)
 
 
 class SamplerConfig(NamedTuple):
@@ -46,6 +48,8 @@ class SamplerConfig(NamedTuple):
     width: int = 0  # image width (ZSobol needs 2D pixel coords from the flat index)
     table: Array | None = None  # (lanes, D) u-values for kind=TABLE; the
     # MLT driver passes sample_index = lane index so get_* can row-index it
+    sobol_v: Array | None = None  # (D, 32) u32 direction numbers (SOBOL_GLOBAL)
+    pmj: Array | None = None      # (N, 2) pmj02 point set (PMJ02)
 
 
 def make_sampler(kind: str = "sobol", seed: int = 0, spp: int = 16,
@@ -56,10 +60,31 @@ def make_sampler(kind: str = "sobol", seed: int = 0, spp: int = 16,
         "sobol": SOBOL,
         "paddedsobol": SOBOL,
         "zsobol": ZSOBOL,
-        "pmj02bn": ZSOBOL,  # blue-noise point sets; ZSobol is our bn sampler
+        "pmj02bn": PMJ02,      # generated pmj02 sets (ld.generate_pmj02)
+        "fullsobol": SOBOL_GLOBAL,
         "halton": HALTON,
     }
-    return SamplerConfig(kinds[kind], seed, spp, width)
+    k = kinds[kind]
+    sobol_v = pmj = None
+    if k == SOBOL_GLOBAL:
+        sobol_v = jnp.asarray(_sobol_matrices_cached())
+    elif k == PMJ02:
+        n = 1 << max(2, int(spp - 1).bit_length())
+        pmj = jnp.asarray(_pmj02_cached(max(n, 4), seed=0))
+    return SamplerConfig(k, seed, spp, width, sobol_v=sobol_v, pmj=pmj)
+
+
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=2)
+def _sobol_matrices_cached(n_dims: int = 64):
+    return ld.generate_sobol_matrices(n_dims)
+
+
+@_ft.lru_cache(maxsize=4)
+def _pmj02_cached(n: int, seed: int = 0):
+    return ld.generate_pmj02(n, seed)
 
 
 def _pixel_xy(cfg: SamplerConfig, pixel: Array):
@@ -104,6 +129,24 @@ def get_1d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> Array:
             idx, rng.hash_combine(dim, jnp.uint32(cfg.seed)),
             rng.hash_combine(dim, jnp.uint32(cfg.seed ^ 0x9E377)))
         return x
+    if cfg.kind == SOBOL_GLOBAL:
+        # one global Sobol' sequence: dimension d of sample `sample`, with
+        # per-pixel Owen scrambling (SobolSampler + FastOwen randomizer)
+        d = int(dim) % cfg.sobol_v.shape[0]
+        v = ld.sobol_sample_dim(cfg.sobol_v[d], jnp.asarray(sample, jnp.uint32))
+        scr = ld.fast_owen_scramble(
+            v, rng.hash_combine(pixel, jnp.uint32(d), jnp.uint32(cfg.seed)))
+        return scr.astype(jnp.float32) * (1.0 / 4294967296.0)
+    if cfg.kind == PMJ02:
+        # per-pixel/dim Owen-scrambled pmj02 set (PMJ02BNSampler: the
+        # scramble preserves the (0,2)-net stratification per pixel)
+        n = cfg.pmj.shape[0]
+        idx = jnp.asarray(sample, jnp.uint32) % jnp.uint32(n)
+        u = cfg.pmj[idx, jnp.asarray(dim, jnp.int32) % 2]
+        bits = (u * 4294967296.0).astype(jnp.uint32)
+        scr = ld.fast_owen_scramble(
+            bits, rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed)))
+        return scr.astype(jnp.float32) * (1.0 / 4294967296.0)
     raise ValueError(f"unknown sampler kind {cfg.kind}")
 
 
@@ -151,4 +194,30 @@ def get_2d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> tuple[Array,
         return ld.owen_scrambled_sobol_2d(
             idx, rng.hash_combine(dim, jnp.uint32(cfg.seed)),
             rng.hash_combine(dim, jnp.uint32(cfg.seed ^ 0x9E377)))
+    if cfg.kind == SOBOL_GLOBAL:
+        d = int(dim) % cfg.sobol_v.shape[0]
+        s_u = jnp.asarray(sample, jnp.uint32)
+        vx = ld.sobol_sample_dim(cfg.sobol_v[d], s_u)
+        vy = ld.sobol_sample_dim(cfg.sobol_v[(d + 1) % cfg.sobol_v.shape[0]],
+                                 s_u)
+        sx = ld.fast_owen_scramble(
+            vx, rng.hash_combine(pixel, jnp.uint32(d), jnp.uint32(cfg.seed)))
+        sy = ld.fast_owen_scramble(
+            vy, rng.hash_combine(pixel, jnp.uint32(d + 1),
+                                 jnp.uint32(cfg.seed)))
+        k = jnp.float32(1.0 / 4294967296.0)
+        return sx.astype(jnp.float32) * k, sy.astype(jnp.float32) * k
+    if cfg.kind == PMJ02:
+        # the 2D pmj02 point per (pixel, sample, dim-pair), Owen-scrambled
+        # per axis (preserves the (0,2)-net)
+        n = cfg.pmj.shape[0]
+        idx = jnp.asarray(sample, jnp.uint32) % jnp.uint32(n)
+        ux = (cfg.pmj[idx, 0] * 4294967296.0).astype(jnp.uint32)
+        uy = (cfg.pmj[idx, 1] * 4294967296.0).astype(jnp.uint32)
+        sx = ld.fast_owen_scramble(
+            ux, rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed)))
+        sy = ld.fast_owen_scramble(
+            uy, rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed ^ 0x71F3)))
+        k = jnp.float32(1.0 / 4294967296.0)
+        return sx.astype(jnp.float32) * k, sy.astype(jnp.float32) * k
     raise ValueError(f"unknown sampler kind {cfg.kind}")

@@ -192,7 +192,21 @@ class ParseResult:
     spp: int = 16
     integrator: str = "path"
     max_depth: int = 5
+    iso: float = 100.0
+    exposure: float = 1.0
+    white_balance: float | None = None
+    sensor: str = "cie1931"
     warnings: list = field(default_factory=list)
+
+    def make_sensor(self):
+        """PixelSensor for develop() (None when all defaults)."""
+        if (self.iso == 100.0 and self.exposure == 1.0
+                and self.white_balance is None):
+            return None
+        from ..wavefront import film as film_mod
+
+        return film_mod.make_sensor(self.white_balance, self.iso,
+                                    self.exposure)
 
 
 _MATERIAL_MAP = {
@@ -463,6 +477,50 @@ def parse_file(path: str) -> ParseResult:
             verts = np.concatenate([[[0, 0, h]], ring]).astype(np.float32)
             faces = [[0, i, i + 1] for i in range(1, 64)] + [[0, 64, 1]]
             emit_mesh(verts, np.asarray(faces))
+        elif stype == "curve":
+            # Curve (shapes.h:1219): diced to camera-facing ribbons at scene
+            # compile (geometry/curves.py; VERDICT r2 item 8 design)
+            from . import curves as curves_mod
+
+            ctrl = np.asarray(pvec(params, "P", np.zeros(12, np.float32)),
+                              np.float32).reshape(-1, 3)
+            w = pget(params, "width", 1.0)
+            w0 = float(pget(params, "width0", w))
+            w1 = float(pget(params, "width1", w))
+            ckind = str(pget(params, "type", "flat"))
+            cnorm = params.get("N")
+            if cnorm is not None:
+                cnorm = np.asarray(cnorm["values"], np.float32).reshape(-1, 3)[:2]
+            basis = str(pget(params, "basis", "bezier"))
+            # camera position in OBJECT space orients the frozen ribbons
+            eye_w = res.cam_to_world[:3, 3]
+            eye_o = xf.apply_points(np.linalg.inv(gs.ctm).astype(np.float32),
+                                    eye_w[None])[0]
+            v, f, uv, nrm = curves_mod.dice_curve_spans(
+                ctrl, w0, w1, ckind, cnorm, eye_o, basis=basis)
+            # per-vertex uv -> per-face-corner handled by emit_mesh via faces
+            emit_mesh(v, f, normals=nrm, uvs=uv)
+        elif stype == "bilinearmesh":
+            # BilinearPatchMesh (shapes.h:1350): 2-triangle fallback per
+            # patch with exact corner UVs (the Reshetov intersection is a
+            # later refinement; for near-planar patches the split is exact)
+            pts = np.asarray(pvec(params, "P", np.zeros(12, np.float32)),
+                             np.float32).reshape(-1, 3)
+            idx = np.asarray(pget(params, "indices", list(range(len(pts)))),
+                             np.int64).reshape(-1, 4)
+            uv_in = params.get("uv")
+            faces = []
+            for (a, b, c, d) in idx:
+                # pbrt bilinear patch corners: p00, p10, p01, p11
+                faces.append((a, b, d))
+                faces.append((a, d, c))
+            uvs = None
+            if uv_in is not None:
+                uvs = np.asarray(uv_in["values"], np.float32).reshape(-1, 2)
+            else:
+                base = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+                uvs = np.tile(base, (len(pts) // 4 + 1, 1))[:len(pts)]
+            emit_mesh(pts, np.asarray(faces), uvs=uvs)
         else:
             warn(f"shape '{stype}' unsupported, skipped")
 
@@ -542,6 +600,17 @@ def parse_file(path: str) -> ParseResult:
             res.width = int(pget(p, "xresolution", 640))
             res.height = int(pget(p, "yresolution", 480))
             res.filename = pget(p, "filename", "out.exr")
+            # PixelSensor parameters (film.h:36): iso scales the imaging
+            # ratio (iso/100); named sensors approximate to the XYZ sensor
+            # (measured spectral response curves not vendored)
+            res.iso = float(pget(p, "iso", 100.0))
+            res.exposure = float(pget(p, "exposuretime", 1.0))
+            wb = pget(p, "whitebalance", 0.0)
+            res.white_balance = float(wb) if float(wb) > 0 else None
+            res.sensor = pget(p, "sensor", "cie1931")
+            if res.sensor != "cie1931":
+                warn(f"sensor '{res.sensor}' approximated by the XYZ sensor "
+                     "(iso/whitebalance applied)")
         elif tok == "Sampler":
             res.sampler = _unquote(ts.next())
             p = parse_params(ts)
@@ -621,9 +690,25 @@ def parse_file(path: str) -> ParseResult:
                                        ((raw + 0.055) / 1.055) ** 2.4)
                     else:
                         img = image_mod.read_exr(full)
+                    rec["image"] = img
+                    rec["value"] = img.mean((0, 1))
                     rec["tex_id"] = builder.add_texture_image(img)
                 except Exception as e:
                     warn(f"imagemap '{fn}' unreadable ({type(e).__name__}), constant")
+            elif cls == "scale":
+                # scale-texture wrapper (textures.h ScaledTexture): resolve
+                # the inner texture and materialize a scaled copy
+                inner_name = pget(p, "tex", "")
+                scl = float(pget(p, "scale", 1.0))
+                inner = textures.get(inner_name) if isinstance(inner_name, str) else None
+                if inner is None:
+                    warn(f"scale texture '{name}': unknown inner '{inner_name}'")
+                else:
+                    rec["value"] = np.atleast_1d(inner["value"]) * scl
+                    if inner.get("image") is not None:
+                        img_s = inner["image"] * scl
+                        rec["image"] = img_s
+                        rec["tex_id"] = builder.add_texture_image(img_s)
             elif cls == "checkerboard":
                 t1 = pvec(p, "tex1", np.array([0.1, 0.1, 0.1], np.float32))
                 t2 = pvec(p, "tex2", np.array([0.9, 0.9, 0.9], np.float32))
@@ -632,7 +717,7 @@ def parse_file(path: str) -> ParseResult:
                     rec["tex_id"] = builder.add_texture_checker(
                         np.broadcast_to(np.atleast_1d(t1), (3,)),
                         np.broadcast_to(np.atleast_1d(t2), (3,)), us)
-            elif cls not in ("constant", "scale"):
+            elif cls != "constant":
                 warn(f"texture class '{cls}' approximated as constant")
             textures[name] = rec
         elif tok == "AreaLightSource":

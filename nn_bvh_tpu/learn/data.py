@@ -165,3 +165,51 @@ def random_scene(n_meshes: int = 4, prims_per_mesh: int = 128, seed: int = 0) ->
         tri = c + (rs.rand(prims_per_mesh, 3, 3) - 0.5) * 0.3
         meshes.append(tris_to_prims(tri.astype(np.float32)))
     return Scene(meshes)
+
+
+class PointCloudStream:
+    """Point-cloud training stream indexed by a CSV (the nss original's
+    `pointcloud_stream`, nss_data_stream.py:18): a CSV with a `samples`
+    column names .npz fragments (array under key 'a') relative to a root
+    folder; clouds are volume-filtered, normalized to the [lo, hi] cube and
+    served as shuffled batches. tf.data becomes a plain numpy generator —
+    the JAX input pipeline is host-side numpy feeding one device upload."""
+
+    def __init__(self, root: str, csv_path: str, batch_size: int,
+                 lo: float = 1.0, hi: float = 2.0, min_volume: float = 1e-4,
+                 seed: int = 0):
+        import csv as _csv
+        import os as _os
+
+        with open(csv_path) as f:
+            rows = list(_csv.DictReader(f))
+        clouds, names = [], []
+        for row in rows:
+            name = row["samples"].replace("\\", _os.sep)
+            with np.load(_os.path.join(root, name) + ".npz",
+                         allow_pickle=True) as z:
+                pc = np.asarray(z["a"], np.float32)
+            ext = pc.max(0) - pc.min(0)
+            if float(np.prod(np.maximum(ext, 1e-12))) < min_volume:
+                continue
+            span = max(float(ext.max()), 1e-9)
+            pc = (pc - pc.min(0)) / span * (hi - lo) + lo
+            clouds.append(pc)
+            names.append(name)
+        if not clouds:
+            raise ValueError(f"{csv_path}: no usable point clouds")
+        self.names = np.asarray(names)
+        self.clouds = np.stack(clouds).astype(np.float32)
+        self.batch_size = min(batch_size, len(clouds))
+        self._rs = np.random.RandomState(seed)
+
+    def __iter__(self):
+        while True:
+            order = self._rs.permutation(len(self.clouds))
+            for i in range(0, len(order) - self.batch_size + 1,
+                           self.batch_size):
+                sel = order[i:i + self.batch_size]
+                yield self.names[sel], self.clouds[sel]
+
+    def batches_per_epoch(self) -> int:
+        return len(self.clouds) // self.batch_size

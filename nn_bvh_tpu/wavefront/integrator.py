@@ -525,6 +525,7 @@ def render(
     seed: int = 0,
     cfg: IntegratorConfig = IntegratorConfig(),
     wave_callback=None,
+    sensor=None,
 ):
     """Progressive render: one 1-spp wave per jit call (the reference's
     progressive wave loop, cpu/integrators.cpp:162). Returns (H,W,3) linear sRGB.
@@ -540,4 +541,4 @@ def render(
         film = wave(film, jnp.int32(s))
         if wave_callback is not None:
             wave_callback(s, film)
-    return film_mod.develop(film)
+    return film_mod.develop(film, sensor=sensor)

@@ -264,3 +264,79 @@ class TestLowDiscrepancy:
         )
         np.testing.assert_allclose(float(jnp.mean(vals)), 0.5, atol=0.02)
         np.testing.assert_allclose(float(jnp.var(vals)), 1 / 12, atol=0.01)
+
+
+class TestGeneratedSamplerTables:
+    """Generated Sobol' matrices + pmj02 sets (VERDICT r2 item 10;
+    samplers_test.cpp elementary-interval idiom)."""
+
+    def test_sobol_matrices_net_property(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from nn_bvh_tpu.core import lowdiscrepancy as ld
+
+        V = ld.generate_sobol_matrices(16)
+        idx = jnp.arange(256, dtype=jnp.uint32)
+        for d in (0, 1, 3, 9, 15):
+            x = np.asarray(ld.sobol_sample_dim(jnp.asarray(V[d]), idx)) / 2**32
+            for k in range(1, 9):
+                m = 1 << k
+                assert len({int(v * m) for v in x[:m]}) == m, (d, k)
+
+    def test_sobol_dims_0_1_are_02_net(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from nn_bvh_tpu.core import lowdiscrepancy as ld
+
+        V = ld.generate_sobol_matrices(2)
+        idx = jnp.arange(64, dtype=jnp.uint32)
+        x = np.asarray(ld.sobol_sample_dim(jnp.asarray(V[0]), idx)) / 2**32
+        y = np.asarray(ld.sobol_sample_dim(jnp.asarray(V[1]), idx)) / 2**32
+        for m_log in (2, 4, 6):
+            m = 1 << m_log
+            for a in range(m_log + 1):
+                b = m_log - a
+                cells = {(int(xx * (1 << a)), int(yy * (1 << b)))
+                         for xx, yy in zip(x[:m], y[:m])}
+                assert len(cells) == m, (m, a, b)
+
+    def test_pmj02_is_02_net(self):
+        from nn_bvh_tpu.core import lowdiscrepancy as ld
+
+        pts = ld.generate_pmj02(64, seed=3)
+        for m_log in (2, 4, 6):
+            m = 1 << m_log
+            for a in range(m_log + 1):
+                b = m_log - a
+                cells = {(int(p[0] * (1 << a)), int(p[1] * (1 << b)))
+                         for p in pts[:m]}
+                assert len(cells) == m, (m, a, b)
+
+    def test_pmj02bn_sampler_kind(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from nn_bvh_tpu.core import samplers
+
+        cfg = samplers.make_sampler("pmj02bn", seed=0, spp=16)
+        assert cfg.kind == samplers.PMJ02 and cfg.pmj is not None
+        pix = jnp.zeros((16,), jnp.int32)
+        smp = jnp.arange(16, dtype=jnp.int32)
+        u, v = samplers.get_2d(cfg, pix, smp, 5)
+        u, v = np.asarray(u), np.asarray(v)
+        assert ((u >= 0) & (u < 1)).all() and ((v >= 0) & (v < 1)).all()
+        # stratification survives the per-pixel Owen scramble: the 16
+        # samples of one pixel cover all 16 strata of the 4x4 grid
+        cells = {(int(a * 4), int(b * 4)) for a, b in zip(u, v)}
+        assert len(cells) == 16, cells
+
+    def test_fullsobol_sampler_kind(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from nn_bvh_tpu.core import samplers
+
+        cfg = samplers.make_sampler("fullsobol", seed=0, spp=16)
+        pix = jnp.zeros((32,), jnp.int32)
+        smp = jnp.arange(32, dtype=jnp.int32)
+        u = np.asarray(samplers.get_1d(cfg, pix, smp, 11))
+        assert ((u >= 0) & (u < 1)).all()
+        assert len({int(x * 32) for x in u}) == 32  # 1D stratified

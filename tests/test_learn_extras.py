@@ -91,3 +91,31 @@ def test_procedural_texture_bake():
         assert img.shape == (scene_mod.TEX_RES, scene_mod.TEX_RES, 3)
         assert np.isfinite(img).all() and img.min() >= 0
         assert img.std() > 0.01  # real spatial variation
+
+
+def test_pointcloud_stream_csv(tmp_path):
+    """nss CSV point-cloud stream (nss_data_stream.py:18 counterpart)."""
+    import numpy as np
+    from nn_bvh_tpu.learn.data import PointCloudStream
+
+    root = tmp_path / "pcs"
+    root.mkdir()
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        pc = rs.rand(64, 3).astype(np.float32) * (i + 1)
+        np.savez(root / f"frag{i}.npz", a=pc)
+        names.append(f"frag{i}")
+    # one degenerate (tiny volume) cloud that must be filtered out
+    np.savez(root / "flat.npz", a=np.zeros((64, 3), np.float32))
+    names.append("flat")
+    csv_p = tmp_path / "index.csv"
+    csv_p.write_text("samples\n" + "\n".join(names) + "\n")
+
+    stream = PointCloudStream(str(root), str(csv_p), batch_size=2)
+    assert len(stream.clouds) == 4  # degenerate filtered
+    assert stream.batches_per_epoch() == 2
+    nm, batch = next(iter(stream))
+    assert batch.shape == (2, 64, 3)
+    # normalized into the [1,2] cube (nss applyNormalization semantics)
+    assert batch.min() >= 1.0 - 1e-6 and batch.max() <= 2.0 + 1e-6
