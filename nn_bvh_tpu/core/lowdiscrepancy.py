@@ -307,64 +307,58 @@ def sobol_sample_dim(V_dim: Array, index: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def generate_pmj02(n: int, seed: int = 0) -> np.ndarray:
-    """(n, 2) pmj02 points: progressive, and every prefix of size 4^k is a
-    (0,2)-net in base 2 (stratified in ALL elementary intervals)."""
+    """(n, 2) pmj02 points: progressive, and every prefix of size 2^k is
+    stratified in ALL base-2 elementary intervals of that size ((0,2)-
+    sequence property; Christensen et al. 2018). Placement is rejection
+    sampling against every elementary grid; uniform rejection can deadlock
+    (the free-cell intersection may be empty), so generation checkpoints at
+    powers of four and restarts the level with fresh randomness on failure."""
     rs = np.random.RandomState(seed)
     pts = np.zeros((n, 2), np.float64)
     pts[0] = rs.rand(2)
     count = 1
 
-    def occupied(num, gx_log, gy_log):
-        """bit sets of occupied strata for grid (2^gx_log x 2^gy_log)."""
-        occ = set()
-        for i in range(num):
-            sx = int(pts[i, 0] * (1 << gx_log))
-            sy = int(pts[i, 1] * (1 << gy_log))
-            occ.add((sx, sy))
-        return occ
+    def try_place(count):
+        m = count + 1
+        lg = 0
+        while (1 << lg) < m:
+            lg += 1
+        for _try in range(2000):
+            cand = rs.rand(2)
+            ok = True
+            for a in range(lg + 1):
+                b = lg - a
+                gx, gy = 1 << a, 1 << b
+                cc = (int(cand[0] * gx), int(cand[1] * gy))
+                coll = False
+                for i in range(count):
+                    if (int(pts[i, 0] * gx), int(pts[i, 1] * gy)) == cc:
+                        coll = True
+                        break
+                if coll:
+                    ok = False
+                    break
+            if ok:
+                return cand
+        return None
 
     while count < n:
-        # extend from N=4^k prefix to 4^(k+1): generate 3N more points, each
-        # placed in a free stratum of every elementary-interval grid
-        N = count
-        total = min(4 * ((N + 3) // 4) if N > 1 else 4, n)
-        # all elementary grids for the TARGET size
-        tgt = 1
-        while (1 << (2 * tgt)) < total:
-            tgt += 1
-        levels = 2 * tgt  # finest 1D resolution log
-        for _ in range(N, min(4 * N, n) if N > 1 else min(4, n)):
-            placed = False
-            for _try in range(4000):
-                cand = rs.rand(2)
-                ok = True
-                m = count + 1  # points after placing
-                # check all elementary intervals (a+b = ceil(log4(m))*2)
-                lg = 0
-                while (1 << lg) < m:
-                    lg += 1
-                for a in range(lg + 1):
-                    b = lg - a
-                    gx, gy = 1 << a, 1 << b
-                    cells = set()
-                    bad = False
-                    for i in range(count):
-                        c = (int(pts[i, 0] * gx), int(pts[i, 1] * gy))
-                        cells.add(c)
-                    cc = (int(cand[0] * gx), int(cand[1] * gy))
-                    if cc in cells:
-                        ok = False
-                        break
-                if ok:
-                    pts[count] = cand
-                    count += 1
-                    placed = True
+        checkpoint = count
+        target = min(max(4 * checkpoint, 4), n)
+        saved = pts[:checkpoint].copy()
+        for _restart in range(100):
+            failed = False
+            count = checkpoint
+            pts[:checkpoint] = saved
+            while count < target:
+                cand = try_place(count)
+                if cand is None:
+                    failed = True
                     break
-            if not placed:
-                # extremely rare with rejection budget; fall back to any
-                # free cell of the finest grid
-                pts[count] = rs.rand(2)
+                pts[count] = cand
                 count += 1
-            if count >= n:
+            if not failed:
                 break
+        else:
+            raise RuntimeError("pmj02 generation failed to converge")
     return pts.astype(np.float32)

@@ -134,8 +134,9 @@ def get_1d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> Array:
         # per-pixel Owen scrambling (SobolSampler + FastOwen randomizer)
         d = int(dim) % cfg.sobol_v.shape[0]
         v = ld.sobol_sample_dim(cfg.sobol_v[d], jnp.asarray(sample, jnp.uint32))
-        scr = ld.fast_owen_scramble(
-            v, rng.hash_combine(pixel, jnp.uint32(d), jnp.uint32(cfg.seed)))
+        scr = ld.reverse_bits32(ld.fast_owen_scramble(
+            ld.reverse_bits32(v),
+            rng.hash_combine(pixel, jnp.uint32(d), jnp.uint32(cfg.seed))))
         return scr.astype(jnp.float32) * (1.0 / 4294967296.0)
     if cfg.kind == PMJ02:
         # per-pixel/dim Owen-scrambled pmj02 set (PMJ02BNSampler: the
@@ -144,8 +145,9 @@ def get_1d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> Array:
         idx = jnp.asarray(sample, jnp.uint32) % jnp.uint32(n)
         u = cfg.pmj[idx, jnp.asarray(dim, jnp.int32) % 2]
         bits = (u * 4294967296.0).astype(jnp.uint32)
-        scr = ld.fast_owen_scramble(
-            bits, rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed)))
+        scr = ld.reverse_bits32(ld.fast_owen_scramble(
+            ld.reverse_bits32(bits),
+            rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed))))
         return scr.astype(jnp.float32) * (1.0 / 4294967296.0)
     raise ValueError(f"unknown sampler kind {cfg.kind}")
 
@@ -200,11 +202,13 @@ def get_2d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> tuple[Array,
         vx = ld.sobol_sample_dim(cfg.sobol_v[d], s_u)
         vy = ld.sobol_sample_dim(cfg.sobol_v[(d + 1) % cfg.sobol_v.shape[0]],
                                  s_u)
-        sx = ld.fast_owen_scramble(
-            vx, rng.hash_combine(pixel, jnp.uint32(d), jnp.uint32(cfg.seed)))
-        sy = ld.fast_owen_scramble(
-            vy, rng.hash_combine(pixel, jnp.uint32(d + 1),
-                                 jnp.uint32(cfg.seed)))
+        sx = ld.reverse_bits32(ld.fast_owen_scramble(
+            ld.reverse_bits32(vx),
+            rng.hash_combine(pixel, jnp.uint32(d), jnp.uint32(cfg.seed))))
+        sy = ld.reverse_bits32(ld.fast_owen_scramble(
+            ld.reverse_bits32(vy),
+            rng.hash_combine(pixel, jnp.uint32(d + 1),
+                             jnp.uint32(cfg.seed))))
         k = jnp.float32(1.0 / 4294967296.0)
         return sx.astype(jnp.float32) * k, sy.astype(jnp.float32) * k
     if cfg.kind == PMJ02:
@@ -214,10 +218,12 @@ def get_2d(cfg: SamplerConfig, pixel: Array, sample: Array, dim) -> tuple[Array,
         idx = jnp.asarray(sample, jnp.uint32) % jnp.uint32(n)
         ux = (cfg.pmj[idx, 0] * 4294967296.0).astype(jnp.uint32)
         uy = (cfg.pmj[idx, 1] * 4294967296.0).astype(jnp.uint32)
-        sx = ld.fast_owen_scramble(
-            ux, rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed)))
-        sy = ld.fast_owen_scramble(
-            uy, rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed ^ 0x71F3)))
+        sx = ld.reverse_bits32(ld.fast_owen_scramble(
+            ld.reverse_bits32(ux),
+            rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed))))
+        sy = ld.reverse_bits32(ld.fast_owen_scramble(
+            ld.reverse_bits32(uy),
+            rng.hash_combine(pixel, dim, jnp.uint32(cfg.seed ^ 0x71F3))))
         k = jnp.float32(1.0 / 4294967296.0)
         return sx.astype(jnp.float32) * k, sy.astype(jnp.float32) * k
     raise ValueError(f"unknown sampler kind {cfg.kind}")

@@ -219,6 +219,8 @@ _MATERIAL_MAP = {
     "thindielectric": ("thindielectric", None),
     "diffusetransmission": ("diffusetransmission", None),
     "subsurface": ("subsurface", None),
+    "hair": ("hair", None),
+    "measured": ("measured", None),
     "": ("diffuse", "empty material -> diffuse"),
     "none": ("interface", None),
 }
@@ -370,6 +372,12 @@ def parse_file(path: str) -> ParseResult:
                                         eta_spectrum=eta_spec, k_spectrum=k_spec,
                                         coat_roughness=float(crough)
                                         if not isinstance(crough, str) else 0.0)
+        if kind == "hair":
+            bm = float(pget(params, "beta_m", 0.3))
+            bn = float(pget(params, "beta_n", 0.3))
+            eta_h = float(pget(params, "eta", 1.55))
+            return builder.add_material("hair", reflectance=refl,
+                                        roughness=bm, beta_n=bn, eta=eta_h)
         if kind == "subsurface":
             # SubsurfaceMaterial (materials.h:696): named preset via "name"
             # (mfp or sigma_a/sigma_s RGB), scale, g, eta
