@@ -199,12 +199,20 @@ class ParseResult:
     warnings: list = field(default_factory=list)
 
     def make_sensor(self):
-        """PixelSensor for develop() (None when all defaults)."""
+        """PixelSensor for develop() (None when all defaults). Named
+        sensors build the measured-response sensor from the extracted
+        curves; fallback to the XYZ sensor when unknown."""
+        from ..wavefront import film as film_mod
+
+        if self.sensor != "cie1931":
+            ms = film_mod.make_measured_sensor(
+                self.sensor, self.white_balance or 6500.0, self.iso,
+                self.exposure)
+            if ms is not None:
+                return ms
         if (self.iso == 100.0 and self.exposure == 1.0
                 and self.white_balance is None):
             return None
-        from ..wavefront import film as film_mod
-
         return film_mod.make_sensor(self.white_balance, self.iso,
                                     self.exposure)
 
@@ -617,8 +625,9 @@ def parse_file(path: str) -> ParseResult:
             res.white_balance = float(wb) if float(wb) > 0 else None
             res.sensor = pget(p, "sensor", "cie1931")
             if res.sensor != "cie1931":
-                warn(f"sensor '{res.sensor}' approximated by the XYZ sensor "
-                     "(iso/whitebalance applied)")
+                from ..core import named_spectra as _ns
+                if not _ns.has(res.sensor + "_r"):
+                    warn(f"sensor '{res.sensor}' unknown, XYZ sensor used")
         elif tok == "Sampler":
             res.sampler = _unquote(ts.next())
             p = parse_params(ts)

@@ -45,8 +45,79 @@ def make_film(height: int, width: int) -> Film:
     )
 
 
+def spectrum_to_sensor_rgb(values: Array, lam: Array, pdf: Array,
+                           curves: Array) -> Array:
+    """MC estimate of MEASURED-sensor RGB from point-sampled spectra
+    (PixelSensor::ToSensorRGB, film.h:36: the per-sample projection onto the
+    camera's r/g/b response curves instead of the CIE matching functions).
+    curves: (3, 471) densified responses on the 1-nm grid [360, 830]."""
+    from ..core.spectrum import safe_div, LAMBDA_MIN, CIE_Y_INTEGRAL
+
+    w = safe_div(jnp.ones_like(pdf), pdf)
+    f = jnp.clip(lam - LAMBDA_MIN, 0.0, curves.shape[1] - 1.001)
+    i0 = f.astype(jnp.int32)
+    t = f - i0
+    out = []
+    for c in range(3):
+        resp = curves[c, i0] * (1 - t) + curves[c, i0 + 1] * t
+        out.append(jnp.mean(resp * values * w, axis=-1))
+    return jnp.stack(out, axis=-1)
+
+
+class MeasuredSensor(NamedTuple):
+    """Measured camera sensor (PixelSensor with named response curves,
+    film.cpp PixelSensor ctor): swatch-trained RGB->XYZ matrix + dense
+    response curves + imaging ratio."""
+    curves: "object"        # (3, 471) np/jnp response curves
+    xyz_from_rgb: "object"  # (3,3) camera RGB (under wb illum) -> output XYZ
+    imaging_ratio: float
+
+
+def make_measured_sensor(name: str, white_balance_temp: float | None = 6500.0,
+                         iso: float = 100.0, exposure: float = 1.0):
+    """Build a MeasuredSensor from the named response curves + the 24
+    BabelColor ColorChecker swatches (both physical measurement data in
+    data/named_spectra.npz, like the reference's spectrum.cpp tables). The
+    3x3 matrix is the least-squares map from swatch camera-RGB under the
+    white-balance illuminant to swatch XYZ under the output illuminant —
+    exactly PixelSensor's training solve (film.cpp)."""
+    import numpy as np
+
+    from ..core import named_spectra, spectrum as sp
+
+    if not named_spectra.has(f"{name}_r"):
+        return None
+    curves = np.stack([named_spectra.dense(f"{name}_{c}") for c in "rgb"])
+    lam = np.arange(sp.LAMBDA_MIN, sp.LAMBDA_MAX + 1.0)
+    wb = 6500.0 if not white_balance_temp else float(white_balance_temp)
+    # true CIE D65 table for the ~6500K default (Spectra::D); blackbody
+    # approximation only for other temperatures
+    if abs(wb - 6500.0) < 51.0 and named_spectra.has("stdillum-D65"):
+        illum = named_spectra.dense("stdillum-D65")
+        illum = illum / max(illum[lam == 560.0][0] if (lam == 560.0).any()
+                            else illum.max(), 1e-9)
+    else:
+        illum = np.asarray(sp.blackbody_normalized(jnp.asarray(lam), wb))
+    out_illum = illum
+    sw = np.stack([named_spectra.dense(f"swatch_{i:02d}") for i in range(24)])
+    g_int = float((curves[1] * illum).sum())
+    rgb_cam = (sw * illum[None, :]) @ curves.T / max(g_int, 1e-9)
+    cie = np.stack([np.asarray(sp.cie_x(jnp.asarray(lam))),
+                    np.asarray(sp.cie_y(jnp.asarray(lam))),
+                    np.asarray(sp.cie_z(jnp.asarray(lam)))])
+    y_int = float((cie[1] * out_illum).sum())
+    xyz_out = (sw * out_illum[None, :]) @ cie.T / max(y_int, 1e-9)
+    X, *_ = np.linalg.lstsq(rgb_cam, xyz_out, rcond=None)
+    # per-sample projection must use the same normalization as the training
+    # projection (ProjectReflectance divides by the g-integral, film.h:96)
+    return MeasuredSensor(curves=(curves / max(g_int, 1e-9)).astype(np.float32),
+                          xyz_from_rgb=X.T.astype(np.float32),
+                          imaging_ratio=float(exposure * iso / 100.0))
+
+
 def add_samples(film: Film, pixel_idx: Array, L: Array, lam: Array, lam_pdf: Array,
-                filter_weight: Array | None = None, sequential: bool = False) -> Film:
+                filter_weight: Array | None = None, sequential: bool = False,
+                sensor_curves: Array | None = None) -> Film:
     """Accumulate spectral radiance samples (RGBFilm::AddSample analog).
 
     pixel_idx: (R,) flat indices; L: (R,4); lam/lam_pdf: (R,4).
@@ -57,7 +128,12 @@ def add_samples(film: Film, pixel_idx: Array, L: Array, lam: Array, lam_pdf: Arr
     per-pixel wave) and skips the scatter — a plain vector add, which avoids
     the TPU's slow scatter path.
     """
-    xyz = spectrum.spectrum_to_xyz(L, lam, lam_pdf)
+    if sensor_curves is None:
+        xyz = spectrum.spectrum_to_xyz(L, lam, lam_pdf)
+    else:
+        # measured sensor: the film's 'xyz' plane holds SENSOR RGB; develop
+        # maps it through the sensor's swatch-trained matrix
+        xyz = spectrum_to_sensor_rgb(L, lam, lam_pdf, sensor_curves)
     w = jnp.ones(pixel_idx.shape, jnp.float32) if filter_weight is None else filter_weight
     # clamp NaN/inf defensively (film.h RGBFilm max-component clamp)
     xyz = jnp.where(jnp.isfinite(xyz), xyz, 0.0)
@@ -119,6 +195,11 @@ def develop(film: Film, splat_scale: float = 1.0,
     xyz = film.xyz / w + splat_scale * film.splat_xyz
     if sensor is None:
         rgb = colorspace.xyz_to_linear_srgb(xyz)
+    elif isinstance(sensor, MeasuredSensor):
+        # film plane holds sensor RGB (see add_samples): camera RGB ->
+        # output XYZ (swatch matrix) -> linear sRGB, times imaging ratio
+        x2 = jnp.einsum("ij,...j->...i", jnp.asarray(sensor.xyz_from_rgb), xyz)
+        rgb = colorspace.xyz_to_linear_srgb(x2) * sensor.imaging_ratio
     else:
         rgb = jnp.einsum("ij,...j->...i", jnp.asarray(sensor.xyz_to_rgb),
                          xyz) * sensor.imaging_ratio

@@ -466,6 +466,7 @@ def make_wave_fn(
     sampler_cfg: samplers.SamplerConfig,
     cfg: IntegratorConfig,
     isect: "dispatch.Intersectors | None" = None,
+    sensor=None,
 ):
     """Build the jitted 1-spp wave function: film, sample_idx -> film.
 
@@ -505,8 +506,11 @@ def make_wave_fn(
                 scene, dbvh, cam, sampler_cfg, cfg, pixel_idx, sample_idx,
                 ls_tables, bi,
             )
+        curves = (jnp.asarray(sensor.curves)
+                  if isinstance(sensor, film_mod.MeasuredSensor) else None)
         return film_mod.add_samples(f, pixel_idx, L, lam, lam_pdf,
-                                    filter_weight=fw, sequential=True)
+                                    filter_weight=fw, sequential=True,
+                                    sensor_curves=curves)
 
     jw = jax.jit(wave_impl, donate_argnums=(0,))
 
@@ -536,7 +540,7 @@ def render(
     sampler_cfg = samplers.make_sampler(sampler, seed=seed, spp=spp,
                                         width=cam.width)
     film = film_mod.make_film(cam.height, cam.width)
-    wave = make_wave_fn(scene, dbvh, cam, sampler_cfg, cfg)
+    wave = make_wave_fn(scene, dbvh, cam, sampler_cfg, cfg, sensor=sensor)
     for s in range(spp):
         film = wave(film, jnp.int32(s))
         if wave_callback is not None:
