@@ -106,6 +106,14 @@ def render_sharded(
     for s in range(start_sample, spp):
         xyz, weight = wave_jit((scene, dbvh, ls_tables), pixel_idx, xyz,
                                weight, jnp.int32(s))
+    if jax.process_count() > 1:
+        # cross-host gather at develop time only (the single collective of
+        # the whole render; per-wave the film bands stay host-local)
+        from jax.experimental import multihost_utils
+
+        xyz = jnp.asarray(multihost_utils.process_allgather(xyz, tiled=True))
+        weight = jnp.asarray(
+            multihost_utils.process_allgather(weight, tiled=True))
     film = film_mod.make_film(cam.height, cam.width)
     film = film._replace(
         xyz=jnp.reshape(xyz, film.xyz.shape),

@@ -14,6 +14,7 @@ import pytest
 
 WORKER = r"""
 import os, sys
+sys.path.insert(0, os.getcwd())  # repo root (set as cwd by the test)
 import numpy as np
 
 proc = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
