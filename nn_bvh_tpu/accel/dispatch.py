@@ -74,7 +74,8 @@ class Intersectors:
                 node_tab, tri_tab, *a, any_hit=True).prim >= 0
         if self.sort and self.backend != "xla":
             _closest = pallas_traverse.make_sorted_isect(_closest, self.bounds)
-            _any = pallas_traverse.make_sorted_isect(_any, self.bounds)
+            if self.sort != "closest_only":
+                _any = pallas_traverse.make_sorted_isect(_any, self.bounds)
         return BoundIntersectors(closest=_closest, any_hit=_any,
                                  backend=self.backend)
 
