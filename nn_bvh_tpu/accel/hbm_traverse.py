@@ -266,7 +266,7 @@ def _traverse_hbm(node_tab, tri_tab, o, d, t_max,
     grid = (rows // TILE_ROWS,)
     ray_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     kernel = _make_kernel(any_hit)
     out_shape = [

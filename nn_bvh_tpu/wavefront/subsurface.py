@@ -124,7 +124,6 @@ def transition(scene, isect_closest, shading_point_fn, sp, wo, wo_local, ctx,
     best_b1 = jnp.zeros_like(u_r)
     best_b2 = jnp.zeros_like(u_r)
     best_p = sp.p
-    best_ns_ok = jnp.zeros_like(enter)
     eps = 1e-4 * jnp.maximum(seg_len, 1.0)
     for k in range(N_PROBE):
         hit = isect_closest(o_k, d_probe, t_rem)
