@@ -47,6 +47,12 @@ class PackedSceneHBM:
     """Host-packed HBM traversal tables (3D block layout), uploaded once."""
 
     def __init__(self, dbvh: DeviceBVH, tri_p):
+        from .pallas_traverse import tree_depth
+        depth = tree_depth(dbvh.node_meta)
+        if depth >= STACK_DEPTH - 1:
+            raise ValueError(
+                f"BVH depth {depth} overflows the HBM kernel's per-packet "
+                f"SMEM stack (STACK_DEPTH={STACK_DEPTH})")
         nodes2d = pack_nodes(dbvh.node_lo, dbvh.node_hi, dbvh.node_meta)
         tris2d = pack_tris(tri_p)
         self.node_tab = jnp.asarray(nodes2d.reshape(-1, 8, LANES))
@@ -190,7 +196,8 @@ def _make_kernel(any_hit: bool):
                 near = jnp.where(ng == 1, offset, node + 1)
                 far = jnp.where(ng == 1, node + 1, offset)
                 sp = sps[p]
-                spc = p * STACK_DEPTH + jnp.maximum(sp, 0)
+                # clamped so spc+1 stays inside this packet's stack region
+                spc = p * STACK_DEPTH + jnp.clip(sp, 0, STACK_DEPTH - 2)
                 stack_ref[spc] = jnp.where(descend, far, node)
                 stack_ref[spc + 1] = near
                 if any_hit:

@@ -57,6 +57,24 @@ _BIG = 3e38
 # host-side packing
 # ---------------------------------------------------------------------------
 
+def tree_depth(node_meta) -> int:
+    """Max traversal-stack depth of the flattened DFS tree. In the DFS layout
+    both children of node i (i+1 and offset) have larger indices, so one
+    increasing-index pass computes exact depths."""
+    meta = np.asarray(node_meta)
+    n = len(meta)
+    depth = np.zeros(n, np.int32)
+    for i in range(n):
+        if meta[i, 1] == 0:  # interior: children at i+1 and offset
+            d = depth[i] + 1
+            if depth[i + 1] < d:
+                depth[i + 1] = d
+            off = int(meta[i, 0])
+            if depth[off] < d:
+                depth[off] = d
+    return int(depth.max()) if n else 0
+
+
 def pack_nodes(node_lo, node_hi, node_meta) -> np.ndarray:
     """(Nn,3)x2 + (Nn,3)i32 -> (nblocks*8, 128) f32 lane-major node table."""
     node_lo = np.asarray(node_lo, np.float32)
@@ -93,6 +111,11 @@ class PackedScene:
     """Host-packed traversal tables, uploaded once."""
 
     def __init__(self, dbvh: DeviceBVH, tri_p):
+        depth = tree_depth(dbvh.node_meta)
+        if depth >= STACK_DEPTH - 1:
+            raise ValueError(
+                f"BVH depth {depth} overflows the kernel's per-packet SMEM "
+                f"stack (STACK_DEPTH={STACK_DEPTH})")
         self.node_tab = jnp.asarray(pack_nodes(dbvh.node_lo, dbvh.node_hi,
                                                dbvh.node_meta))
         self.tri_tab = jnp.asarray(pack_tris(tri_p))
@@ -182,6 +205,12 @@ def _tri_isect_tile(ox, oy, oz, dx, dy, dz, t_best, v):
 
 
 N_PACKETS = int(_os.environ.get("BVH_N_PACKETS", "4"))  # compile-time only
+# Compile-time invariants (ADVICE r3): a non-divisible packet split silently
+# drops tail rows, and N_PACKETS > TILE_ROWS makes rpp=0 (all rays miss).
+assert N_PACKETS >= 1 and N_PACKETS <= TILE_ROWS, \
+    f"BVH_N_PACKETS={N_PACKETS} must be in [1, TILE_ROWS={TILE_ROWS}]"
+assert TILE_ROWS % N_PACKETS == 0, \
+    f"BVH_TILE_ROWS={TILE_ROWS} must be divisible by BVH_N_PACKETS={N_PACKETS}"
 
 
 def _make_kernel(any_hit: bool):
@@ -283,7 +312,10 @@ def _make_kernel(any_hit: bool):
                 near = jnp.where(ng == 1, offset, node + 1)
                 far = jnp.where(ng == 1, node + 1, offset)
                 sp = sps[p]
-                spc = p * STACK_DEPTH + jnp.maximum(sp, 0)
+                # clamp so the unconditional spc+1 push can never land in the
+                # next packet's stack region (no-op for trees whose depth is
+                # checked < STACK_DEPTH-1 at pack time)
+                spc = p * STACK_DEPTH + jnp.clip(sp, 0, STACK_DEPTH - 2)
                 stack_ref[spc] = jnp.where(descend, far, node)
                 stack_ref[spc + 1] = near
                 if any_hit:

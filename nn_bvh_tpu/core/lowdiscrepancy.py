@@ -307,40 +307,104 @@ def sobol_sample_dim(V_dim: Array, index: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def generate_pmj02(n: int, seed: int = 0) -> np.ndarray:
-    """(n, 2) pmj02 points: progressive, and every prefix of size 2^k is
-    stratified in ALL base-2 elementary intervals of that size ((0,2)-
-    sequence property; Christensen et al. 2018). Placement is rejection
-    sampling against every elementary grid; uniform rejection can deadlock
-    (the free-cell intersection may be empty), so generation checkpoints at
-    powers of four and restarts the level with fresh randomness on failure."""
+    """(n, 2) progressive (0,2) points: every prefix of size 2^k is
+    stratified in ALL base-2 elementary intervals of that size — the defining
+    property of pmj02 sets (Christensen et al., EGSR 2018).
+
+    Construction: Owen-scrambled Sobol (0,2) sequence with per-point uniform
+    jitter inside the 2^-32 cell — O(n), deterministic, never deadlocks.
+    Nested uniform (Owen) scrambling preserves the (0,2) property of every
+    prefix, so these sets satisfy the same elementary-interval guarantees as
+    rejection-built pmj02 (the blue-noise *optimized* realization of the
+    paper — minimum-distance selection among candidates — is not performed;
+    the reference ships such realizations as data, pmj02tables.h). The prior
+    rejection-sampling builder deadlocked for n >= ~1k (the free-cell
+    intersection shrinks to measure ~0), ADVICE r3."""
+    idx = np.arange(n, dtype=np.uint64)
+    # dim 0: van der Corput (bit-reversed index); dim 1: Sobol dim-1
+    # (Pascal-triangle direction numbers v_k = v_{k-1} ^ (v_{k-1} >> 1))
+    x = np.zeros(n, np.uint32)
+    v = idx.astype(np.uint32)
+    for b in range(32):
+        x = (x << np.uint32(1)) | ((v >> np.uint32(b)) & np.uint32(1))
+    cols = []
+    vk = 1 << 31
+    for k in range(32):
+        cols.append(vk)
+        vk = vk ^ (vk >> 1)
+    cols = np.array(cols, dtype=np.uint32)
+    y = np.zeros(n, np.uint32)
+    for b in range(32):
+        y ^= ((idx >> np.uint64(b)) & np.uint64(1)).astype(np.uint32) * cols[b]
+
+    def owen(u, s):
+        # hash-based nested-uniform scramble (Laine-Karras rounds) applied
+        # in bit-reversed space, as in util/lowdiscrepancy.h FastOwenScrambler
+        r = np.zeros_like(u)
+        for b in range(32):
+            r = (r << np.uint32(1)) | ((u >> np.uint32(b)) & np.uint32(1))
+        r = (r + np.uint32(s & 0xFFFFFFFF)) * np.uint32(0x9E3779B9)
+        r ^= r * np.uint32(0x6C50B47C)
+        r ^= r * np.uint32(0xB82F1E52)
+        r ^= r * np.uint32(0xC7AFE638)
+        r ^= r * np.uint32(0x8D22F6E6)
+        u = np.zeros_like(r)
+        for b in range(32):
+            u = (u << np.uint32(1)) | ((r >> np.uint32(b)) & np.uint32(1))
+        return u
+    rs = np.random.RandomState(seed)
+    sx, sy = rs.randint(0, 1 << 31, 2, dtype=np.int64)
+    x = owen(x, int(sx) * 2 + 1)
+    y = owen(y, int(sy) * 2 + 1)
+    # keep the top 24 scrambled bits: k*2^-24 is exactly representable in
+    # f32 for [0,1), so strata membership survives the float conversion
+    # (jittering at 2^-32 then rounding to f32 can cross a stratum boundary)
+    pts = (np.stack([x, y], 1) >> np.uint32(8)).astype(np.float64)
+    return (pts * (2.0 ** -24)).astype(np.float32)
+
+
+def _generate_pmj02_rejection(n: int, seed: int = 0) -> np.ndarray:
+    """Historic rejection-sampling pmj02 builder (kept for reference/tests of
+    the placement rule; deadlocks for large n — use generate_pmj02)."""
     rs = np.random.RandomState(seed)
     pts = np.zeros((n, 2), np.float64)
     pts[0] = rs.rand(2)
     count = 1
+    # per-elementary-grid occupancy sets: occ[(a,b)] = set of occupied cells
+    # in the 2^a x 2^b grid -> O(lg) membership per candidate instead of an
+    # O(count * lg) scan over all placed points (ADVICE r3)
+    occ: dict = {}
+
+    def grid_of(a, b):
+        key = (a, b)
+        s = occ.get(key)
+        if s is None:
+            gx, gy = 1 << a, 1 << b
+            s = {(int(pts[i, 0] * gx), int(pts[i, 1] * gy))
+                 for i in range(count)}
+            occ[key] = s
+        return s
 
     def try_place(count):
         m = count + 1
         lg = 0
         while (1 << lg) < m:
             lg += 1
+        grids = [(a, lg - a, grid_of(a, lg - a)) for a in range(lg + 1)]
         for _try in range(2000):
             cand = rs.rand(2)
             ok = True
-            for a in range(lg + 1):
-                b = lg - a
-                gx, gy = 1 << a, 1 << b
-                cc = (int(cand[0] * gx), int(cand[1] * gy))
-                coll = False
-                for i in range(count):
-                    if (int(pts[i, 0] * gx), int(pts[i, 1] * gy)) == cc:
-                        coll = True
-                        break
-                if coll:
+            for a, b, s in grids:
+                if (int(cand[0] * (1 << a)), int(cand[1] * (1 << b))) in s:
                     ok = False
                     break
             if ok:
                 return cand
         return None
+
+    def add_point(cand):
+        for (a, b), s in occ.items():
+            s.add((int(cand[0] * (1 << a)), int(cand[1] * (1 << b))))
 
     while count < n:
         checkpoint = count
@@ -350,15 +414,18 @@ def generate_pmj02(n: int, seed: int = 0) -> np.ndarray:
             failed = False
             count = checkpoint
             pts[:checkpoint] = saved
+            occ.clear()
             while count < target:
                 cand = try_place(count)
                 if cand is None:
                     failed = True
                     break
                 pts[count] = cand
+                add_point(cand)
                 count += 1
             if not failed:
                 break
         else:
             raise RuntimeError("pmj02 generation failed to converge")
+        occ.clear()  # grids for smaller prefixes are superseded
     return pts.astype(np.float32)

@@ -50,13 +50,17 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     )
 
 
-def local_band(R: int) -> tuple[int, int]:
+def local_band(R: int, mesh=None) -> tuple[int, int]:
     """[start, end) of the flat pixel range owned by THIS host's devices
-    (contiguous bands under a 1-D mesh over jax.devices())."""
-    n = jax.device_count()
+    (contiguous bands under a 1-D mesh). Derived from mesh POSITION, not raw
+    device ids (which need not be contiguous or id-ordered, ADVICE r3); pass
+    the mesh used for the render — defaults to a 1-D mesh over
+    jax.devices() in enumeration order."""
+    devs = list(mesh.devices.flat) if mesh is not None else list(jax.devices())
+    n = len(devs)
     per = R // n
-    locals_ = [d.id for d in jax.local_devices()]
-    return min(locals_) * per, (max(locals_) + 1) * per
+    pos = [i for i, d in enumerate(devs) if d.process_index == jax.process_index()]
+    return min(pos) * per, (max(pos) + 1) * per
 
 
 def save_render_state(path: str, xyz, weight, next_sample: int,
@@ -65,10 +69,16 @@ def save_render_state(path: str, xyz, weight, next_sample: int,
     shards), so no cross-host traffic. path gets a .proc{i} suffix."""
     idx = jax.process_index()
     shards = {}
-    xs = [np.asarray(s.data) for s in xyz.addressable_shards]
-    ws = [np.asarray(s.data) for s in weight.addressable_shards]
-    shards["xyz"] = np.concatenate(xs, 0)
-    shards["weight"] = np.concatenate(ws, 0)
+
+    def _band(arr):
+        # addressable_shards iteration order is not guaranteed to be shard
+        # order — sort by the shard's global start index (ADVICE r3)
+        ss = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in ss], 0)
+
+    shards["xyz"] = _band(xyz)
+    shards["weight"] = _band(weight)
     shards["next_sample"] = np.int64(next_sample)
     if params is not None:
         flat, _ = jax.tree_util.tree_flatten(params)

@@ -351,7 +351,7 @@ class SceneBuilder:
         kind: str = "diffuse",
         reflectance=(0.5, 0.5, 0.5),
         roughness: float = 0.0,
-        eta: float = 1.5,
+        eta: float | None = None,
         k: float = 3.9,
         transmittance: float = 0.0,
         texture: int = -1,
@@ -388,11 +388,13 @@ class SceneBuilder:
             "measured": MAT_MEASURED,
             "subsurface": MAT_SUBSURFACE,
         }
+        # eta=None sentinel: per-kind default (1.33 for subsurface per the
+        # reference's SubsurfaceMaterial, 1.5 dielectric otherwise) — an
+        # explicit eta=1.5 on subsurface is honored (ADVICE r3).
+        if eta is None:
+            eta = 1.33 if kind == "subsurface" else 1.5
         if kind == "subsurface":
-            # sss row id rides in the k slot (params[3]); eta defaults to
-            # the skin/marble 1.33 of the reference unless given
-            if eta == 1.5:
-                eta = 1.33
+            # sss row id rides in the k slot (params[3])
             k = float(len(self._sss))
             self._sss.append(dict(
                 sigma_a=np.asarray(sigma_a, np.float32),

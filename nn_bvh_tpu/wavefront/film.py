@@ -92,13 +92,21 @@ def make_measured_sensor(name: str, white_balance_temp: float | None = 6500.0,
     wb = 6500.0 if not white_balance_temp else float(white_balance_temp)
     # true CIE D65 table for the ~6500K default (Spectra::D); blackbody
     # approximation only for other temperatures
-    if abs(wb - 6500.0) < 51.0 and named_spectra.has("stdillum-D65"):
-        illum = named_spectra.dense("stdillum-D65")
-        illum = illum / max(illum[lam == 560.0][0] if (lam == 560.0).any()
-                            else illum.max(), 1e-9)
+    if named_spectra.has("stdillum-D65"):
+        d65 = named_spectra.dense("stdillum-D65")
+        d65 = d65 / max(d65[lam == 560.0][0] if (lam == 560.0).any()
+                        else d65.max(), 1e-9)
+    else:
+        d65 = np.asarray(sp.blackbody_normalized(jnp.asarray(lam), 6500.0))
+    if abs(wb - 6500.0) < 51.0:
+        illum = d65
     else:
         illum = np.asarray(sp.blackbody_normalized(jnp.asarray(lam), wb))
-    out_illum = illum
+    # The sensor illuminant applies only to the camera-RGB side; swatch XYZ is
+    # projected under the OUTPUT colorspace illuminant (film.h:65,
+    # outputColorSpace->illuminant = D65 for sRGB) — this is what performs the
+    # chromatic adaptation for white_balance_temp far from 6500K.
+    out_illum = d65
     sw = np.stack([named_spectra.dense(f"swatch_{i:02d}") for i in range(24)])
     g_int = float((curves[1] * illum).sum())
     rgb_cam = (sw * illum[None, :]) @ curves.T / max(g_int, 1e-9)

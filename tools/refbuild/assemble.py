@@ -227,10 +227,11 @@ def write_makefile():
         f"{REF}/src/ext/gtest/gtest-all.cc",
     ]
     inc = (f"-I{SRC} -I{OUT}/shim -I{OUT}/gen -I{REF}/src/ext "
-           f"-I{REF}/src/ext/flip -I{REF}/src/ext/gtest/.. "
+           f"-I{REF}/src/ext/flip -I{REF}/src/ext/gtest/.. -I{REF}/src "
            "-I/usr/include/OpenEXR -I/usr/include/Imath")
     defs = ("-DPBRT_IS_LINUX -DPBRT_HAVE_MMAP "
-            "-DPBRT_HAVE_POSIX_MEMALIGN -DPBRT_NOINLINE= -DNDEBUG "
+            "-DPBRT_HAVE_POSIX_MEMALIGN -DPBRT_NOINLINE= "
+            "-DPBRT_RESTRICT=__restrict__ -DNDEBUG "
             "-DPTEX_STATIC")
     flags = f"-O2 -std=c++17 -fno-exceptions-workaround {inc} {defs} -w -pthread"
     flags = flags.replace("-fno-exceptions-workaround ", "")
@@ -273,6 +274,12 @@ def write_makefile():
 
 if __name__ == "__main__":
     copy_tree()
+    # shim headers for the absent src/ext submodules live next to this script
+    shim_src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "shim")
+    shim_dst = os.path.join(OUT, "shim")
+    if os.path.exists(shim_dst):
+        shutil.rmtree(shim_dst)
+    shutil.copytree(shim_src, shim_dst)
     patch_nanovdb()
     patch_gui()
     gen_tables()
