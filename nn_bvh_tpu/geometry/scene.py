@@ -209,6 +209,9 @@ class CompiledScene(NamedTuple):
     # Fresnel gathers in bxdf.gather_material)
     feat_spectral: bool = False
     feat_subsurface: bool = False
+    # any coated material (gates the stochastic LayeredBxDF walk in
+    # scatter/layered.py — the walk is priced only when present)
+    feat_coated: bool = False
 
     def replace(self, **kw):
         return self._replace(**kw)
@@ -260,7 +263,7 @@ from ..utils.pytree import register_static as _register_static  # noqa: E402
 _register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium",
                                  "feat_mix", "feat_hair", "feat_measured",
                                  "feat_portal", "feat_spectral",
-                                 "feat_subsurface"))
+                                 "feat_subsurface", "feat_coated"))
 
 
 @dataclass
@@ -958,6 +961,8 @@ class SceneBuilder:
             feat_measured=bool(np.any(mat_type == MAT_MEASURED)),
             feat_portal=bool(np.any(light_type == LIGHT_PORTAL_ENV)),
             feat_spectral=bool(self._spec_tables),
+            feat_coated=bool(np.any((mat_type == MAT_COATED_DIFFUSE)
+                                    | (mat_type == MAT_COATED_CONDUCTOR))),
             spec_tables=(np.stack(self._spec_tables)
                          if self._spec_tables else None),
             **med,

@@ -238,6 +238,13 @@ def has_measured(scene: scene_mod.CompiledScene) -> bool:
     return _feat(scene, "feat_measured", scene_mod.MAT_MEASURED)
 
 
+def has_coated(scene: scene_mod.CompiledScene) -> bool:
+    """Static: any coated material? (gates the stochastic LayeredBxDF walk —
+    when absent, ctx.coat_ax is None and the walk is never traced)."""
+    return (_feat(scene, "feat_coated", scene_mod.MAT_COATED_DIFFUSE)
+            or _feat(scene, "feat_coated", scene_mod.MAT_COATED_CONDUCTOR))
+
+
 def has_spectral(scene: scene_mod.CompiledScene) -> bool:
     """Static: any named-spectrum eta/k material? (gates spectral Fresnel)."""
     return bool(getattr(scene, "feat_spectral", False)) and \
@@ -382,7 +389,8 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         ay=ay,
         eta=rec[..., 7],
         k=rec[..., 8],
-        coat_ax=roughness_to_alpha(rec[..., 14]),
+        coat_ax=(roughness_to_alpha(rec[..., 14])
+                 if has_coated(scene) else None),
         h=h,
         meas_tab=meas_tab,
         meas_id=meas_id,
@@ -439,30 +447,20 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
     f_diel_r, pdf_diel_r = _rough_dielectric_eval(ctx, wo, wi, smooth)
     f_diel_r = jnp.broadcast_to(f_diel_r[..., None], f_cond.shape)
 
-    # coated diffuse / coated conductor: Fresnel-coupled two-lobe model — the
-    # single-scattering closed form of the reference's stochastic LayeredBxDF
-    # (bxdfs.h TopOrBottomBxDF / LayeredBxDF random walk): a dielectric-coat
-    # GGX lobe plus the base lobe attenuated by (1-F(wo))(1-F(wi)). The coat
-    # alpha is clamped away from delta so both lobes stay samplable with one
-    # pdf (full stochastic multi-bounce layering is a later refinement).
-    cax = _coat_alpha(ctx)
-    fo = fr_dielectric(vm.abs_cos_theta(wo), ctx.eta)
-    fi = fr_dielectric(abs_ci, ctx.eta)
-    atten = ((1.0 - fo) * (1.0 - fi))[..., None]
-    fr_c = fr_dielectric(vm.absdot(wo, wm_n), ctx.eta)
-    d_c = tr_d(wm_n, cax, cax)
-    g_c = tr_g(wo, wi, cax, cax)
-    f_coat = jnp.where(refl_side & (wm_len2 > 1e-12),
-                       fr_c * d_c * g_c / denom, 0.0)
-    pdf_coat = jnp.where(
-        refl_side & (wm_len2 > 1e-12),
-        tr_pdf(wo, wm_n, cax, cax) / jnp.maximum(4.0 * vm.absdot(wo, wm_n), 1e-9),
-        0.0)
-    p_spec = _coat_lobe_prob(fo)
-    f_cdiff = f_coat[..., None] + atten * f_diff
-    pdf_cdiff = p_spec * pdf_coat + (1.0 - p_spec) * pdf_diff
-    f_ccond = f_coat[..., None] + atten * f_cond
-    pdf_ccond = p_spec * pdf_coat + (1.0 - p_spec) * pdf_cond
+    # coated diffuse / coated conductor: stochastic LayeredBxDF estimate
+    # (layered.py — the reference's bxdfs.h:432 random walk, lane-vectorized).
+    # Traced only when the scene has coated materials (coat_ax gate).
+    if ctx.coat_ax is not None:
+        from . import layered
+
+        cc_mask = t == scene_mod.MAT_COATED_CONDUCTOR
+        f_lay = layered.coated_f(ctx, wo, wi, cc_mask)
+        pdf_lay = layered.coated_pdf(ctx, wo, wi, cc_mask)
+        f_cdiff = f_ccond = f_lay
+        pdf_cdiff = pdf_ccond = pdf_lay
+    else:
+        f_cdiff = f_ccond = jnp.zeros_like(f_diff)
+        pdf_cdiff = pdf_ccond = jnp.zeros_like(pdf_diff)
 
     f_sw = jnp.where(refl_side[..., None],
                      jnp.broadcast_to(sss_exit_f(ctx.eta, abs_ci)[..., None],
@@ -541,16 +539,6 @@ def _rough_dielectric_eval(ctx: MaterialCtx, wo: Array, wi: Array,
     pdf = jnp.where(ok, jnp.where(is_refl, pdf_r, pdf_t), 0.0)
     return f, pdf
 
-
-def _coat_alpha(ctx: MaterialCtx) -> Array:
-    """Coat GGX alpha, clamped away from the delta limit (see evaluate)."""
-    c = ctx.coat_ax if ctx.coat_ax is not None else jnp.zeros_like(ctx.ax)
-    return jnp.maximum(c, 0.04)
-
-
-def _coat_lobe_prob(fo: Array) -> Array:
-    """Coat-vs-base lobe selection probability from the wo Fresnel."""
-    return jnp.clip(fo, 0.1, 0.9)
 
 
 def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
@@ -654,26 +642,33 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
     trans_dt = ~vm.same_hemisphere(wo, wi_dt)
 
     # ---- coated diffuse / coated conductor --------------------------------
-    # choose coat vs base lobe by the wo Fresnel, then score with evaluate()
-    # (both lobes are non-delta by the coat-alpha clamp, so f/pdf from
-    # evaluate are exact for the mixture)
-    cax = _coat_alpha(ctx)
-    fo = fr_dielectric(vm.abs_cos_theta(wo), ctx.eta)
-    p_spec = _coat_lobe_prob(fo)
-    choose_spec = uc < p_spec
-    wm_c = tr_sample_wm(wo_up, u2, cax, cax)
-    wm_c = jnp.where(wo[..., 2:3] < 0, -wm_c, wm_c)
-    wi_coat = vm.reflect(wo, wm_c)
-    wi_cd = jnp.where(choose_spec[..., None], wi_coat, wi_diff)
-    f_cd, pdf_cd = evaluate(
-        ctx._replace(mat_type=jnp.full_like(t, scene_mod.MAT_COATED_DIFFUSE)),
-        wo, wi_cd)
-    wi_cc = jnp.where(choose_spec[..., None], wi_coat, wi_rough)
-    f_cc, pdf_cc = evaluate(
-        ctx._replace(mat_type=jnp.full_like(t, scene_mod.MAT_COATED_CONDUCTOR)),
-        wo, wi_cc)
-    valid_cd = vm.same_hemisphere(wo, wi_cd)
-    valid_cc = vm.same_hemisphere(wo, wi_cc)
+    # stochastic LayeredBxDF random walk (layered.py / bxdfs.h:432). The
+    # walk's pdf is only proportional; like the reference's BSDF wrapper
+    # (pdfIsProportional), f is rescaled by the stochastic PDF estimate so
+    # beta (f/pdf) is preserved and the reported pdf is MIS-consistent.
+    if ctx.coat_ax is not None:
+        from . import layered
+
+        cc_mask = t == scene_mod.MAT_COATED_CONDUCTOR
+        wi_lay, f_walk, pdf_walk, valid_lay, spec_lay = layered.coated_sample(
+            ctx, wo, uc, u2, cc_mask, mode=mode)
+        pdf_lay = layered.coated_pdf(ctx, wo, wi_lay, cc_mask, mode=mode)
+        f_lay = f_walk * (pdf_lay / jnp.maximum(pdf_walk, 1e-12))[..., None]
+        # fully specular walks (smooth coat + smooth/specular exits) keep the
+        # walk pdf and f (delta transport: MIS never applies)
+        f_lay = jnp.where(spec_lay[..., None], f_walk, f_lay)
+        pdf_lay = jnp.where(spec_lay, pdf_walk, pdf_lay)
+        wi_cd = wi_cc = wi_lay
+        f_cd = f_cc = jnp.broadcast_to(f_lay, f_diff.shape)
+        pdf_cd = pdf_cc = pdf_lay
+        valid_cd = valid_cc = valid_lay
+        spec_cd = spec_lay
+    else:
+        wi_cd = wi_cc = wi_diff
+        f_cd = f_cc = jnp.zeros_like(f_diff)
+        pdf_cd = pdf_cc = jnp.zeros_like(pdf_diff)
+        valid_cd = valid_cc = jnp.zeros(t.shape, bool)
+        spec_cd = jnp.zeros(t.shape, bool)
 
     # ---- subsurface exit lobe (NormalizedFresnel Sw, cosine-sampled) ----
     f_swx = jnp.broadcast_to(
@@ -696,7 +691,7 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
     fss = [f_diff, f_cond, f_diel, f_thin, f_dt, f_cd, f_cc, f_swx]
     pdfs = [pdf_diff, pdf_cond, pdf_diel, pdf_thin, pdf_dt, pdf_cd, pdf_cc,
             pdf_diff]
-    specs = [zeros_b, smooth, smooth, ones_b, zeros_b, zeros_b, zeros_b,
+    specs = [zeros_b, smooth, smooth, ones_b, zeros_b, spec_cd, spec_cd,
              zeros_b]
     transs = [zeros_b, zeros_b, trans_diel, ~thin_refl, trans_dt,
               zeros_b, zeros_b, zeros_b]
