@@ -83,7 +83,8 @@ MED_GRID = 1
 MED_GRID_RES = 64  # density grids resampled to a fixed-size stack (like TEX_RES)
 MAJ_GRID_RES = 16  # low-res conservative majorant grid (MajorantGrid, media.h)
 
-TEX_RES = 256  # all image textures resampled to a fixed-size array stack
+TEX_RES = 256  # bake resolution for ANALYTIC textures (checker/procedural);
+# image textures keep native resolution in the mip atlas (geometry/texture.py)
 
 
 class CompiledScene(NamedTuple):
@@ -121,11 +122,13 @@ class CompiledScene(NamedTuple):
     # scene bounds (2,3)
     bounds: Array
 
-    # textures: a stack of fixed-res spectral-coefficient images. Each texel
+    # textures: flat mip atlas of spectral-coefficient texels. Each texel
     # holds [c0, c1, c2, scale] (sigmoid-polynomial uplift precomputed on host
     # per texel — the device-side analog of pbrt's RGBToSpectrumTable lookup,
-    # without the 8-gather trilinear table walk). (T, TEX_RES, TEX_RES, 4).
-    tex_coeffs: Array = None
+    # without the 8-gather trilinear table walk). Native resolution + box mip
+    # pyramids packed by geometry/texture.pack_atlas (util/mipmap.h analog).
+    tex_atlas: Array = None   # (Ntexels, 4) flat coefficient atlas
+    tex_desc: Array = None    # (T, LMAX, 3) i32 [offset, width, height]
     # measured BRDFs (MeasuredBxDF analog, scatter/measured.py): a stack of
     # (mu_o, mu_i, dphi) tables of spectral-uplift coefficients.
     # (T, No, Ni, Np, 4); the 1-entry zero table means "none".
@@ -284,7 +287,7 @@ class SceneBuilder:
     _materials: list = field(default_factory=list)
     _sss: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
-    _textures: list = field(default_factory=list)   # (TEX_RES,TEX_RES,3) rgb
+    _textures: list = field(default_factory=list)   # native-res (H,W,3) rgb
     _measured: list = field(default_factory=list)   # (No,Ni,Np,3) rgb tables
     _media: list = field(default_factory=list)
     _spec_tables: list = field(default_factory=list)  # (471,) dense spectra
@@ -305,13 +308,10 @@ class SceneBuilder:
         return len(self._measured) - 1
 
     def add_texture_image(self, rgb_image: np.ndarray) -> int:
-        """Register an RGB image texture (resampled to TEX_RES^2). Returns
-        texture id for add_material(texture=...)."""
-        img = np.asarray(rgb_image, np.float32)
-        h, w = img.shape[:2]
-        yi = (np.arange(TEX_RES) * (h / TEX_RES)).astype(np.int64)
-        xi = (np.arange(TEX_RES) * (w / TEX_RES)).astype(np.int64)
-        self._textures.append(img[yi][:, xi])
+        """Register an RGB image texture at NATIVE resolution (mip pyramid
+        built at compile, geometry/texture.py). Returns texture id for
+        add_material(texture=...)."""
+        self._textures.append(np.asarray(rgb_image, np.float32))
         return len(self._textures) - 1
 
     def add_texture_checker(self, rgb1=(0.1, 0.1, 0.1), rgb2=(0.9, 0.9, 0.9),
@@ -827,13 +827,14 @@ class SceneBuilder:
             light_scale = np.zeros(0, np.float32)
             light_params = np.zeros((0, N_LIGHT_PARAMS), np.float32)
 
-        # textures -> per-texel spectral coefficients (host)
+        # textures -> native-res mip atlas of spectral coefficients (host)
         if self._textures:
-            tex_coeffs = np.stack(
-                [rgb2spec.rgb_image_to_coeffs(t) for t in self._textures]
-            )
+            from . import texture as texture_mod
+
+            tex_atlas, tex_desc = texture_mod.pack_atlas(self._textures)
         else:
-            tex_coeffs = np.zeros((1, 1, 1, 4), np.float32)
+            tex_atlas = np.zeros((1, 4), np.float32)
+            tex_desc = np.zeros((1, 1, 3), np.int32)
 
         # measured BRDF tables -> stacked spectral-coefficient grids
         if self._measured:
@@ -950,7 +951,8 @@ class SceneBuilder:
             light_params=light_params,
             n_lights=int(len(lights)),
             bounds=np.stack([lo, hi]),
-            tex_coeffs=tex_coeffs,
+            tex_atlas=tex_atlas,
+            tex_desc=tex_desc,
             measured_coeffs=measured_coeffs,
             tri_med_inside=tri_med_in,
             tri_med_outside=tri_med_out,

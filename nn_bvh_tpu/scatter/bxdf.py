@@ -293,7 +293,8 @@ def zeros_ctx_like(ctx: MaterialCtx) -> MaterialCtx:
 
 def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
                     mat_all: Array | None = None, uv: Array | None = None,
-                    u_mix: Array | None = None) -> MaterialCtx:
+                    u_mix: Array | None = None,
+                    foot_log2: Array | None = None) -> MaterialCtx:
     """Fetch + spectrally expand per-lane material params (ONE gather).
 
     When uv is given and the scene carries textures, materials with a texture
@@ -314,21 +315,19 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         sub_a = rec[..., 11].astype(jnp.int32)
         sub_b = rec[..., 12].astype(jnp.int32)
         amount = rec[..., 13]
-        has_tex_stack = (scene.tex_coeffs is not None
-                         and scene.tex_coeffs.size > 4)
+        has_tex_stack = (scene.tex_atlas is not None
+                         and scene.tex_atlas.size > 4)
         if has_tex_stack and uv is not None:
             # texture-driven mix amount (MixMaterial "texture amount",
             # crown.pbrt mask mixes): amount < 0 encodes -(tex_id+1)
+            from ..geometry import texture as texture_mod
+
             amt_tex = (-amount - 1.0).astype(jnp.int32)
-            tcount, th0, tw0, _ = scene.tex_coeffs.shape
-            uvw0 = uv - jnp.floor(uv)
-            tx0 = jnp.clip((uvw0[..., 0] * tw0).astype(jnp.int32), 0, tw0 - 1)
-            ty0 = jnp.clip((uvw0[..., 1] * th0).astype(jnp.int32), 0, th0 - 1)
-            texel0 = scene.tex_coeffs[jnp.clip(amt_tex, 0, tcount - 1),
-                                      ty0, tx0]
+            texel0 = texture_mod.lookup(scene.tex_atlas, scene.tex_desc,
+                                        amt_tex, uv, foot_log2=foot_log2)
             tval = jnp.clip(
                 rgb2spec.eval_sigmoid_poly(texel0[..., 0:3],
-                                           jnp.full_like(uvw0[..., :1], 550.0)
+                                           jnp.full_like(uv[..., :1], 550.0)
                                            )[..., 0] * texel0[..., 3],
                 0.0, 1.0)
             amount = jnp.where(amount < 0, tval, amount)
@@ -338,14 +337,15 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
                         mat_all[jnp.maximum(resolved, 0)], rec)
     coeffs = rec[..., 1:4]
     scale = rec[..., 4:5]
-    has_textures = scene.tex_coeffs is not None and scene.tex_coeffs.size > 4
+    has_textures = scene.tex_atlas is not None and scene.tex_atlas.size > 4
     if has_textures and uv is not None:
+        from ..geometry import texture as texture_mod
+
         tex_id = rec[..., 10].astype(jnp.int32)
-        t, th, tw, _ = scene.tex_coeffs.shape
-        uvw = uv - jnp.floor(uv)  # wrap (UVMapping repeat)
-        x = jnp.clip((uvw[..., 0] * tw).astype(jnp.int32), 0, tw - 1)
-        y = jnp.clip((uvw[..., 1] * th).astype(jnp.int32), 0, th - 1)
-        texel = scene.tex_coeffs[jnp.clip(tex_id, 0, t - 1), y, x]  # 1 gather
+        # filtered native-res fetch (mipmap.h trilinear analog);
+        # foot_log2=None reads level 0 bilinearly
+        texel = texture_mod.lookup(scene.tex_atlas, scene.tex_desc,
+                                   tex_id, uv, foot_log2=foot_log2)
         use = (tex_id >= 0)[..., None]
         coeffs = jnp.where(use, texel[..., 0:3], coeffs)
         scale = jnp.where(use, texel[..., 3:4], scale)

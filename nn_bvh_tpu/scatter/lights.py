@@ -116,8 +116,9 @@ def sample_li(
     li_spot = li_point * falloff[..., None]
 
     # ---- projection (lights.h ProjectionLight) ----------------------------
-    has_tex = scene.tex_coeffs is not None and scene.tex_coeffs.size > 4
+    has_tex = scene.tex_atlas is not None and scene.tex_atlas.size > 4
     if has_tex:
+        from ..geometry import texture as texture_mod
         pdir = rec[..., 8:11]
         tanx = jnp.maximum(rec[..., 11], 1e-6)
         tany = jnp.maximum(rec[..., 12], 1e-6)
@@ -133,18 +134,15 @@ def sample_li(
         uv_p = jnp.stack(
             [0.5 * (wx / jnp.maximum(wz, 1e-6) / tanx + 1.0),
              0.5 * (wy / jnp.maximum(wz, 1e-6) / tany + 1.0)], -1)
-        tcount, th_, tw_, _ = scene.tex_coeffs.shape
-        xx = jnp.clip((uv_p[..., 0] * tw_).astype(jnp.int32), 0, tw_ - 1)
-        yy = jnp.clip((uv_p[..., 1] * th_).astype(jnp.int32), 0, th_ - 1)
-        texel = scene.tex_coeffs[jnp.clip(tex_id, 0, tcount - 1), yy, xx]
+        texel = texture_mod.lookup(scene.tex_atlas, scene.tex_desc,
+                                   tex_id, jnp.clip(uv_p, 0.0, 0.9999))
         tex_spec = rgb2spec.eval_sigmoid_poly(texel[..., 0:3], lam) * texel[..., 3:4]
         li_proj = li_point * tex_spec * inside[..., None]
 
         # ---- goniometric (lights.h GoniometricLight) ----------------------
         guv = vm.equal_area_sphere_to_square(-wi_point)
-        gx = jnp.clip((guv[..., 0] * tw_).astype(jnp.int32), 0, tw_ - 1)
-        gy = jnp.clip((guv[..., 1] * th_).astype(jnp.int32), 0, th_ - 1)
-        gtexel = scene.tex_coeffs[jnp.clip(tex_id, 0, tcount - 1), gy, gx]
+        gtexel = texture_mod.lookup(scene.tex_atlas, scene.tex_desc,
+                                    tex_id, jnp.clip(guv, 0.0, 0.9999))
         gspec = rgb2spec.eval_sigmoid_poly(gtexel[..., 0:3], lam) * gtexel[..., 3:4]
         li_gonio = li_point * gspec
     else:

@@ -82,6 +82,8 @@ class ShadingPoint(NamedTuple):
     v0: Array      # (R,3) hit-triangle vertices (for emissive-hit MIS pdf)
     v1: Array
     v2: Array
+    uv_scale: Array  # (R,) uv-length per world-length (ray-cone texture LOD)
+    t: Array       # (R,) hit distance (cone width accumulation)
 
 
 def _shading_point(scene: scene_mod.CompiledScene, hit: accel.Hit, o: Array, d: Array) -> ShadingPoint:
@@ -104,12 +106,22 @@ def _shading_point(scene: scene_mod.CompiledScene, hit: accel.Hit, o: Array, d: 
         + hit.b1[..., None] * rec[..., 20:22]
         + hit.b2[..., None] * rec[..., 22:24]
     )
+    # per-triangle uv-length per world-length: sqrt(uv_area / world_area)
+    # (the ray-cone texture-LOD scale; mipmap.h footprint analog)
+    duv1 = rec[..., 20:22] - rec[..., 18:20]
+    duv2 = rec[..., 22:24] - rec[..., 18:20]
+    uv_area = 0.5 * jnp.abs(duv1[..., 0] * duv2[..., 1]
+                            - duv1[..., 1] * duv2[..., 0])
+    w_area = 0.5 * vm.length(vm.cross(v1 - v0, v2 - v0))
+    uv_scale = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-20))
     return ShadingPoint(
         p=p, ng=ng, ns=ns, uv=uv,
         mat=rec[..., 24].astype(jnp.int32),
         prim=hit.prim,
         light=rec[..., 25].astype(jnp.int32),
         v0=v0, v1=v1, v2=v2,
+        uv_scale=uv_scale,
+        t=jnp.where(jnp.isfinite(hit.t), hit.t, 0.0),
     )
 
 
@@ -167,6 +179,14 @@ def trace_wave(
     prev_pdf = 1.0 + zv
     prev_p = o
     eta_scale = 1.0 + zv
+    # ray-cone texture LOD state (geometry/texture.py): width at the ray
+    # origin + spread angle; camera spread from the pixel solid angle
+    from ..geometry import texture as texture_mod
+
+    cone_w = zv
+    cone_s = texture_mod.camera_spread(
+        cam.fov if cam.kind == camera_mod.PERSPECTIVE else 60.0,
+        cam.height) + zv
 
     n_lights = scene.n_lights
     mat_all = bxdf.material_records(scene)
@@ -257,7 +277,8 @@ def trace_wave(
         whole path loop compiles ONCE (lax.scan) instead of unrolling,
         which keeps XLA compile time of the wave under control (the unrolled
         form took >15 min on the remote TPU compiler)."""
-        o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale = state
+        (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
+         cone_w, cone_s) = state
         base = DIM_PATH_BASE + depth * DIMS_PER_DEPTH
 
         L, found, sp, wo = add_emission(
@@ -268,7 +289,11 @@ def trace_wave(
         # material context (one fused gather; MixMaterial resolved per lane)
         u_mix = rng.hash_float(pixel_idx, sidx, jnp.asarray(depth, jnp.uint32),
                                jnp.uint32(0x77))
-        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv, u_mix)
+        cone_at_hit = cone_w + sp.t * cone_s
+        foot = texture_mod.cone_foot_log2(
+            cone_at_hit, vm.absdot(d, sp.ns), sp.uv_scale)
+        ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv, u_mix,
+                                   foot_log2=foot)
         active = active & (sp.mat >= 0)
         wo_local = vm.to_local(sp.ns, wo)
 
@@ -340,6 +365,12 @@ def trace_wave(
         ng_o = vm.face_forward(sp.ng, wi_world)
         o = jnp.where(active[..., None], vm.offset_ray_origin(sp.p, ng_o, wi_world), o)
         d = jnp.where(active[..., None], wi_world, d)
+        # cone update: width accumulates; spread widens after the first
+        # non-specular bounce (indirect lookups read coarse mips — the
+        # wavefront reference similarly degrades differentials per bounce)
+        cone_w = jnp.where(active, cone_at_hit, cone_w)
+        cone_s = jnp.where(active & ~bs.specular,
+                           jnp.maximum(cone_s, 0.25), cone_s)
 
         # Russian roulette (Path only; integrators.cpp RR on beta*etaScale),
         # gated by the traced depth
@@ -353,9 +384,11 @@ def trace_wave(
                 active[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
             )
 
-        return (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale)
+        return (o, d, L, beta, active, specular_prev, prev_pdf, prev_p,
+                eta_scale, cone_w, cone_s)
 
-    state = (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale)
+    state = (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
+             cone_w, cone_s)
     if cfg.max_depth > 0:
         # lax.scan (not fori_loop): the body compiles once AND reverse-mode
         # autodiff works; jax.checkpoint bounds backward memory to one bounce
@@ -365,7 +398,8 @@ def trace_wave(
         state, _ = jax.lax.scan(
             jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
         )
-    o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale = state
+    (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
+     cone_w, cone_s) = state
     # trailing emission-only segment (the depth == max_depth break)
     L, _, _, _ = add_emission(
         cfg.max_depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p

@@ -187,3 +187,40 @@ class TestEnvMapAndTextures:
         bright = lit > np.median(lit)
         # two tone populations with a big ratio
         assert lit[bright].mean() > 4 * max(lit[~bright].mean(), 1e-6)
+
+
+def test_mipmap_minification_no_alias():
+    """High-frequency checker on a receding plane: with the mip atlas +
+    ray-cone LOD (geometry/texture.py, util/mipmap.h analog) the far region
+    must converge to the checker mean instead of aliasing to one tone."""
+    import numpy as np
+    from nn_bvh_tpu import accel
+    from nn_bvh_tpu.geometry import scene as scene_mod, transform as xf
+    from nn_bvh_tpu.wavefront import camera as camera_mod, integrator
+
+    b = scene_mod.SceneBuilder()
+    tex = b.add_texture_checker((0.1, 0.1, 0.1), (0.9, 0.9, 0.9), uscale=64)
+    m = b.add_material("diffuse", texture=tex)
+    # receding plane: uv stretches 40x120 -> far texels way below pixel rate
+    b.add_quad((-20, 0, 0), (20, 0, 0), (20, 0, 120), (-20, 0, 120), m,
+               uvs=np.asarray([(0, 0), (40, 0), (40, 120), (0, 120)],
+                              np.float32))
+    b.add_uniform_infinite_light((1, 1, 1), scale=1.0)
+    sc = b.build()
+    sc, dbvh, _ = accel.build_scene_bvh(sc)
+    cam = camera_mod.make_perspective(
+        xf.look_at((0, 1.0, 0), (0, 0.85, 4), (0, 1, 0)), fov=40.0,
+        width=48, height=48)
+    cfg = integrator.IntegratorConfig(max_depth=2, use_pallas=False)
+    img = np.asarray(integrator.render(sc, dbvh, cam, spp=8,
+                                       sampler="independent", cfg=cfg))
+    # far band (top third of the plane, just below the horizon): each pixel
+    # footprint covers many checker cells -> pixel VALUES near the mean, not
+    # just the region average (aliasing would bimodalize them)
+    ys = slice(26, 31)
+    far = img[ys, 8:-8].mean(-1)
+    mean_tone = 0.5 * (0.1 + 0.9) * 0.5  # albedo mean * (approx shading)
+    # per-pixel spread: mip-filtered pixels cluster tightly
+    assert far.std() < 0.08, (far.std(), far.mean())
+    # and the band mean is finite/sane
+    assert 0.05 < far.mean() < 0.9

@@ -45,9 +45,29 @@ Shape "sphere" "float radius" [ 1 ]
 """
 
 
+SCENE_TEX = """Integrator "path" "integer maxdepth" [ {maxdepth} ]
+Sampler "halton" "integer pixelsamples" [ {spp} ]
+Film "rgb" "integer xresolution" [ {res} ] "integer yresolution" [ {res} ]
+    "string filename" [ "{out}" ]
+LookAt 0 1.0 0   0 0.85 4   0 1 0
+Camera "perspective" "float fov" [ 40 ]
+WorldBegin
+LightSource "infinite" "rgb L" [ 1 1 1 ]
+Texture "probe-tex" "spectrum" "imagemap" "string filename" [ "{texfile}" ]
+Material "diffuse" "texture reflectance" [ "probe-tex" ]
+Shape "trianglemesh"
+    "integer indices" [ 0 1 2  0 2 3 ]
+    "point3 P" [ -20 0 0   20 0 0   20 0 120   -20 0 120 ]
+    "point2 uv" [ 0 0  40 0  40 120  0 120 ]
+"""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mat", help="pbrt Material line")
+    ap.add_argument("--textured", metavar="IMG",
+                    help="textured receding-plane probe (minification filter "
+                         "parity vs the reference MIPMap) with this image")
     ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
     ap.add_argument("--res", type=int, default=96)
     ap.add_argument("--spp", type=int, default=64)
@@ -61,10 +81,33 @@ def main():
     ref_out = os.path.join(tmp, "ref.exr")
     scene_path = os.path.join(tmp, "probe.pbrt")
     with open(scene_path, "w") as f:
-        f.write(SCENE.format(mat=mat, res=args.res, spp=args.spp,
-                             maxdepth=args.maxdepth, out=ref_out))
+        if args.textured:
+            texfile = os.path.abspath(args.textured)
+            if texfile.endswith((".png", ".jpg", ".jpeg")):
+                # the refbuild pbrt has lodepng stubbed out: convert LDR
+                # images to linear PFM (sRGB-decoded) for both renderers
+                from PIL import Image as _PIL
+                import numpy as _np
 
-    print(f"[probe] {mat}", file=sys.stderr)
+                raw = _np.asarray(_PIL.open(texfile).convert("RGB"),
+                                  _np.float32) / 255.0
+                lin = _np.where(raw <= 0.04045, raw / 12.92,
+                                ((raw + 0.055) / 1.055) ** 2.4)
+                sys.path.insert(0, os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))))
+                from nn_bvh_tpu.utils import image as _image_mod
+
+                texfile = os.path.join(tmp, "tex.pfm")
+                _image_mod.write_pfm(texfile, lin.astype(_np.float32))
+            f.write(SCENE_TEX.format(
+                texfile=texfile, res=args.res,
+                spp=args.spp, maxdepth=args.maxdepth, out=ref_out))
+        else:
+            f.write(SCENE.format(mat=mat, res=args.res, spp=args.spp,
+                                 maxdepth=args.maxdepth, out=ref_out))
+
+    print(f"[probe] {'textured ' + args.textured if args.textured else mat}",
+          file=sys.stderr)
     subprocess.run([args.pbrt, "--nthreads", "2", scene_path],
                    check=True, capture_output=True)
 
