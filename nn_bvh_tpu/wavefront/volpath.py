@@ -109,6 +109,13 @@ def trace_wave_vol(
     specular_prev = zv == 0.0
     prev_p = o
     eta_scale = 1.0 + zv
+    # ray-cone texture LOD (geometry/texture.py; see integrator.trace_wave)
+    from ..geometry import texture as texture_mod
+
+    cone_w = zv
+    cone_s = texture_mod.camera_spread(
+        cam.fov if cam.kind == camera_mod.PERSPECTIVE else 60.0,
+        cam.height) + zv
     cur_med = jnp.full((R,), scene.camera_medium, jnp.int32) + zv.astype(jnp.int32)
 
     n_lights = scene.n_lights
@@ -457,7 +464,7 @@ def trace_wave_vol(
     # ------------------------------------------------------------------
     def bounce(depth, state, allow_scatter=True):
         (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
-         eta_scale) = state
+         eta_scale, cone_w, cone_s) = state
 
         t_max = jnp.where(active, 1e30, -1.0)
         hit = isect_closest(o, d, t_max)
@@ -484,11 +491,14 @@ def trace_wave_vol(
                          surf_found)
         if not allow_scatter:
             return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
-                    cur_med, eta_scale)
+                    cur_med, eta_scale, cone_w, cone_s)
 
         wo = -d
+        cone_at_hit = cone_w + sp.t * cone_s
+        foot = texture_mod.cone_foot_log2(
+            cone_at_hit, vm.absdot(d, sp.ns), sp.uv_scale)
         ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv,
-                                   _rand(depth, 31))
+                                   _rand(depth, 31), foot_log2=foot)
         is_interface = surf_found & (sp.mat < 0)
         surf_lane = surf_found & (sp.mat >= 0)
 
@@ -557,6 +567,9 @@ def trace_wave_vol(
 
         specular_prev = jnp.where(scattered, False,
                                   jnp.where(surf_lane, bs.specular, specular_prev))
+        cone_w = jnp.where(surf_lane | scattered, cone_at_hit, cone_w)
+        cone_s = jnp.where((surf_lane & ~bs.specular) | scattered,
+                           jnp.maximum(cone_s, 0.25), cone_s)
         prev_p = jnp.where(took_bounce[..., None],
                            jnp.where(scattered[..., None], p_scat, p_surf), prev_p)
         eta_scale = jnp.where(surf_lane & bs.transmission,
@@ -572,10 +585,10 @@ def trace_wave_vol(
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
         return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
-                cur_med, eta_scale)
+                cur_med, eta_scale, cone_w, cone_s)
 
     state = (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
-             eta_scale)
+             eta_scale, cone_w, cone_s)
     if cfg.max_depth > 0:
         def scan_body(s, depth):
             return bounce(depth, s), None

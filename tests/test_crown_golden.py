@@ -60,10 +60,9 @@ def test_crown_pbrt_golden_reads():
                     reason="crown-ours artifact not rendered yet "
                            "(run tools/crown_gate.py on the TPU chip)")
 def test_crown_artifact_structure():
-    """Structural parity that HOLDS today (round 3 artifact, measured
-    Canon sensor + iso 150): block median 6.6%, background (backdrop)
-    blocks within 5%. Gates against regressions while the strict mean
-    gate below stays the north star."""
+    """Structural parity (round-4 artifact: block median 3.8%, backdrop
+    within 5%). Kept alongside the strict gate below as a finer-grained
+    regression signal."""
     ours = exr.read_rgb(OURS)
     gold = exr.read_rgb(PBRT_GOLDEN)
     g = _downsample(gold, 14, 10)
@@ -79,14 +78,12 @@ def test_crown_artifact_structure():
 
 @pytest.mark.skipif(not os.path.exists(OURS),
                     reason="crown-ours artifact not rendered yet")
-@pytest.mark.xfail(strict=False, reason=(
-    "north-star strict gate: round-3 artifact is at +16.7% scene mean "
-    "(block median 6.6%). Remaining known deviations: coated* materials "
-    "use the 2-lobe closed form instead of the stochastic LayeredBxDF "
-    "(crown gold/enamel/velvet +15-45%), the eta=3 gem dielectric near the "
-    "top cross (+150%), and saturated-red uplift spectra diverging under "
-    "the measured-sensor response (bottom velvet). See BASELINE.md r3."))
 def test_crown_artifact_parity():
+    """North-star STRICT gate (BASELINE.json): crown 64spp vs the pbrt-v4
+    CPU golden. PASSING since round 4: the stochastic LayeredBxDF
+    (scatter/layered.py) + native-res mip textures (geometry/texture.py)
+    closed the r3 +16.7% scene-mean gap to +1.9% (block median 3.8%,
+    p90 11.8%). Artifact rendered by tools/crown_gate.py on TPU v5e-1."""
     _gate(exr.read_rgb(OURS), exr.read_rgb(PBRT_GOLDEN))
 
 

@@ -9,6 +9,7 @@ parameters and FD must match to first order.
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from nn_bvh_tpu import accel
@@ -57,6 +58,11 @@ def make_loss(sc, dbvh, cam, cfg, sampler_cfg, lst):
         return total
 
     return jax.jit(loss), jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+
+# >10 minutes for the FD sweeps on a 2-core box (VERDICT r3): out of the
+# default gate; run with `pytest -m slow` or in the full nightly pass.
+pytestmark = pytest.mark.slow
 
 
 class TestPixelGradients:
