@@ -40,16 +40,26 @@ class BoundIntersectors(NamedTuple):
 
 
 class Intersectors:
-    """Backend choice + device tables. See module docstring for .bind()."""
+    """Backend choice + device tables. See module docstring for .bind().
 
-    def __init__(self, backend: str, tables, bounds, sort: bool):
+    Analytic quadrics (geometry/quadrics.py) ride as a third table group:
+    they are intersected brute-force as an (R, Q) broadcast AFTER the
+    triangle traversal and merged by min-t — the analog of the reference
+    GPU backend's separate quadric BVH (gpu/aggregate.h:107). Quadric prim
+    ids = quad_base + q (above the padded triangle range)."""
+
+    def __init__(self, backend: str, tables, bounds, sort: bool,
+                 quad_base: int = 0):
         self.backend = backend
         self.tables = tables      # pytree of device arrays (jit-arg friendly)
         self.bounds = bounds
         self.sort = sort
+        self.quad_base = quad_base
 
     def bind(self, tables=None) -> BoundIntersectors:
-        t = self.tables if tables is None else tables
+        # tables is ALWAYS the 2-tuple (core_backend_tables, quad_tables)
+        # with quad_tables = (quad_type, quad_params) or None
+        t, quads = self.tables if tables is None else tables
         if self.backend == "xla":
             dbvh, tri_p = t
             _closest = lambda *a: traverse.intersect_closest(dbvh, tri_p, *a)
@@ -76,6 +86,29 @@ class Intersectors:
             _closest = pallas_traverse.make_sorted_isect(_closest, self.bounds)
             if self.sort != "closest_only":
                 _any = pallas_traverse.make_sorted_isect(_any, self.bounds)
+        if quads is not None:
+            from ..geometry import quadrics as quadrics_mod
+
+            qtype, qparams = quads
+            base = self.quad_base
+            tri_closest, tri_any = _closest, _any
+
+            def _closest(o, d, t_max):
+                hit = tri_closest(o, d, t_max)
+                eff = jnp.where(jnp.isfinite(hit.t), hit.t, t_max)
+                tq, qi, u, v = quadrics_mod.intersect(qtype, qparams,
+                                                      o, d, eff)
+                take = qi >= 0  # already tested tq < eff
+                return traverse.Hit(
+                    t=jnp.where(take, tq, hit.t),
+                    prim=jnp.where(take, base + qi, hit.prim),
+                    b1=jnp.where(take, u, hit.b1),
+                    b2=jnp.where(take, v, hit.b2))
+
+            def _any(o, d, t_max):
+                return tri_any(o, d, t_max) | quadrics_mod.intersect_any(
+                    qtype, qparams, o, d, t_max)
+
         return BoundIntersectors(closest=_closest, any_hit=_any,
                                  backend=self.backend)
 
@@ -104,9 +137,17 @@ def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
 
+    # analytic quadric tables (prim ids offset by the PADDED tri count so
+    # they index tri_shade's appended rows)
+    quads = None
+    if getattr(scene, "n_quadrics", 0):
+        quads = (jnp.asarray(scene.quad_type), jnp.asarray(scene.quad_params))
+
     if not use_pallas:
-        tables = (jax.tree.map(jnp.asarray, dbvh), jnp.asarray(scene.tri_p))
-        return Intersectors("xla", tables, scene.bounds, sort=False)
+        tables = ((jax.tree.map(jnp.asarray, dbvh), jnp.asarray(scene.tri_p)),
+                  quads)
+        return Intersectors("xla", tables, scene.bounds, sort=False,
+                            quad_base=n_tris)
 
     # NOTE on BVH8 (pallas_bvh8): measured SLOWER than the binary packet
     # kernel on v5e (incoherent 65k-tri bench: bvh8 93ms vs binary 40ms
@@ -119,13 +160,14 @@ def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
     if _os.environ.get("BVH_BACKEND") == "bvh8":
         psw = pallas_bvh8.PackedSceneW(dbvh, scene.tri_p)
         if psw.usable():
-            return Intersectors("pallas_bvh8",
-                                (psw.bounds_tab, psw.meta_tab, psw.tri_tab),
-                                scene.bounds, sort=sort)
+            return Intersectors(
+                "pallas_bvh8",
+                ((psw.bounds_tab, psw.meta_tab, psw.tri_tab), quads),
+                scene.bounds, sort=sort, quad_base=n_tris)
     if pallas_traverse.usable(dbvh, n_tris):
         ps = pallas_traverse.PackedScene(dbvh, scene.tri_p)
-        return Intersectors("pallas_vmem", (ps.node_tab, ps.tri_tab),
-                            scene.bounds, sort=sort)
+        return Intersectors("pallas_vmem", ((ps.node_tab, ps.tri_tab), quads),
+                            scene.bounds, sort=sort, quad_base=n_tris)
     psh = hbm_traverse.PackedSceneHBM(dbvh, scene.tri_p)
-    return Intersectors("pallas_hbm", (psh.node_tab, psh.tri_tab),
-                        scene.bounds, sort=sort)
+    return Intersectors("pallas_hbm", ((psh.node_tab, psh.tri_tab), quads),
+                        scene.bounds, sort=sort, quad_base=n_tris)

@@ -198,6 +198,17 @@ class CompiledScene(NamedTuple):
     sss_radius: Array = None     # (64,)
     sss_rho: Array = None        # (64,)
 
+    # analytic quadrics (geometry/quadrics.py; shapes.h Sphere/Disk/
+    # Cylinder). Their prim ids live above the padded triangle range and
+    # their mat/light/medium columns ride in tri_shade's appended rows.
+    quad_type: Array = None     # (Q,) i32
+    quad_params: Array = None   # (Q, 13) world-frame records
+    quad_uv_scale: Array = None  # (Q,) ray-cone LOD scale
+    quad_mat: Array = None      # (Q,) i32
+    quad_light: Array = None    # (Q,) i32
+    quad_med: Array = None      # (Q, 2) i32 [inside, outside]
+    n_quadrics: int = 0         # static
+
     # static feature gates, computed at build time. They must be STATIC
     # (not traced): the scene is threaded through jit as an ARGUMENT, so
     # inspecting mat_type inside a traced function is impossible — these
@@ -225,17 +236,25 @@ def make_tri_shade(scene: "CompiledScene") -> np.ndarray:
     tn = np.asarray(scene.tri_n, np.float32)
     tu = np.asarray(scene.tri_uv, np.float32)
     n = len(tp)
-    out = np.zeros((n, 28), np.float32)
-    out[:, 0:9] = tp.reshape(n, 9)
-    out[:, 9:18] = tn.reshape(n, 9)
-    out[:, 18:24] = tu.reshape(n, 6)
-    out[:, 24] = np.asarray(scene.tri_mat, np.float32)
-    out[:, 25] = np.asarray(scene.tri_light, np.float32)
+    nq = int(scene.n_quadrics or 0)
+    out = np.zeros((n + nq, 28), np.float32)
+    out[:n, 0:9] = tp.reshape(n, 9)
+    out[:n, 9:18] = tn.reshape(n, 9)
+    out[:n, 18:24] = tu.reshape(n, 6)
+    out[:n, 24] = np.asarray(scene.tri_mat, np.float32)
+    out[:n, 25] = np.asarray(scene.tri_light, np.float32)
     if scene.tri_med_inside is not None:
-        out[:, 26] = np.asarray(scene.tri_med_inside, np.float32)
-        out[:, 27] = np.asarray(scene.tri_med_outside, np.float32)
+        out[:n, 26] = np.asarray(scene.tri_med_inside, np.float32)
+        out[:n, 27] = np.asarray(scene.tri_med_outside, np.float32)
     else:
-        out[:, 26:28] = -1.0
+        out[:n, 26:28] = -1.0
+    if nq:
+        # appended quadric rows: only the material/light/medium columns are
+        # meaningful (positions/normals/uv are computed analytically by
+        # integrator._shading_point; geometry/quadrics.py)
+        out[n:, 24] = np.asarray(scene.quad_mat, np.float32)
+        out[n:, 25] = np.asarray(scene.quad_light, np.float32)
+        out[n:, 26:28] = np.asarray(scene.quad_med, np.float32)
     return out
 
 
@@ -264,6 +283,7 @@ def majorant_grid(dens: np.ndarray, res: int = MAJ_GRID_RES) -> np.ndarray:
 from ..utils.pytree import register_static as _register_static  # noqa: E402
 
 _register_static(CompiledScene, ("n_tris", "n_lights", "n_media", "camera_medium",
+                                 "n_quadrics",
                                  "feat_mix", "feat_hair", "feat_measured",
                                  "feat_portal", "feat_spectral",
                                  "feat_subsurface", "feat_coated"))
@@ -288,6 +308,7 @@ class SceneBuilder:
     _sss: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
     _textures: list = field(default_factory=list)   # native-res (H,W,3) rgb
+    _quadrics: list = field(default_factory=list)   # analytic quadric dicts
     _measured: list = field(default_factory=list)   # (No,Ni,Np,3) rgb tables
     _media: list = field(default_factory=list)
     _spec_tables: list = field(default_factory=list)  # (471,) dense spectra
@@ -682,6 +703,25 @@ class SceneBuilder:
         else:
             self._tri_emit.append(None)
 
+    def add_quadric(self, kind: str, center, radius: float, material: int,
+                    axis=(0.0, 0.0, 1.0), inner_radius: float = 0.0,
+                    zmin: float = -1e30, zmax: float = 1e30,
+                    light_id: int = -1, med_inside: int = -1,
+                    med_outside: int = -1) -> int:
+        """Register an ANALYTIC quadric (geometry/quadrics.py; shapes.h
+        Sphere:107 / Disk:404 / Cylinder:574). Intersected exactly — no
+        tessellation, no inscribed-mesh shadow bias."""
+        from . import quadrics as quadrics_mod
+
+        qt, qp = quadrics_mod.make_record(
+            kind, center, radius, axis=axis, inner_radius=inner_radius,
+            zmin=zmin, zmax=zmax)
+        self._quadrics.append(dict(
+            type=qt, params=qp, material=int(material),
+            light=int(light_id if light_id is not None else -1),
+            med=(int(med_inside), int(med_outside))))
+        return len(self._quadrics) - 1
+
     def add_sphere(self, center, radius, material, n_theta=32, n_phi=64,
                    emission_rgb=None, emission_scale: float = 1.0,
                    two_sided: bool = False, **kw):
@@ -752,7 +792,12 @@ class SceneBuilder:
 
     def build(self) -> CompiledScene:
         if not self._tri_p:
-            raise ValueError("empty scene")
+            if not self._quadrics:
+                raise ValueError("empty scene")
+            # quadric-only scene: one degenerate triangle keeps the BVH and
+            # padded-lane machinery shaped (rejected by det==0 everywhere)
+            self.add_mesh(np.zeros((3, 3), np.float32),
+                          np.array([[0, 1, 2]]), material=-1)
         tri_p = np.concatenate(self._tri_p)
         tri_n = np.concatenate(self._tri_n)
         tri_uv = np.concatenate(self._tri_uv)
@@ -929,6 +974,27 @@ class SceneBuilder:
         lo = tri_p[:n].reshape(-1, 3).min(0)
         hi = tri_p[:n].reshape(-1, 3).max(0)
 
+        # analytic quadrics: SoA arrays + scene-bounds extension
+        if self._quadrics:
+            from . import quadrics as quadrics_mod
+
+            quad_type = np.array([q["type"] for q in self._quadrics], np.int32)
+            quad_params = np.stack([q["params"] for q in self._quadrics])
+            quad_mat = np.array([q["material"] for q in self._quadrics], np.int32)
+            quad_light = np.array([q["light"] for q in self._quadrics], np.int32)
+            quad_med = np.array([q["med"] for q in self._quadrics], np.int32)
+            quad_uvs = quadrics_mod.uv_scale(quad_type, quad_params)
+            for qt, qp in zip(quad_type, quad_params):
+                qlo, qhi = quadrics_mod.bounds(int(qt), qp)
+                lo = np.minimum(lo, qlo)
+                hi = np.maximum(hi, qhi)
+            quads = dict(quad_type=quad_type, quad_params=quad_params,
+                         quad_uv_scale=quad_uvs, quad_mat=quad_mat,
+                         quad_light=quad_light, quad_med=quad_med,
+                         n_quadrics=len(self._quadrics))
+        else:
+            quads = dict(n_quadrics=0)
+
         # NOTE: arrays stay HOST-side numpy. Device upload happens exactly once
         # (to_device / the renderers) — device->host readback over the TPU
         # tunnel is catastrophically slow, so the whole scene pipeline
@@ -951,6 +1017,7 @@ class SceneBuilder:
             light_params=light_params,
             n_lights=int(len(lights)),
             bounds=np.stack([lo, hi]),
+            **quads,
             tex_atlas=tex_atlas,
             tex_desc=tex_desc,
             measured_coeffs=measured_coeffs,

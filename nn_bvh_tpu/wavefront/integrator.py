@@ -114,6 +114,24 @@ def _shading_point(scene: scene_mod.CompiledScene, hit: accel.Hit, o: Array, d: 
                             - duv1[..., 1] * duv2[..., 0])
     w_area = 0.5 * vm.length(vm.cross(v1 - v0, v2 - v0))
     uv_scale = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-20))
+    if getattr(scene, "n_quadrics", 0):
+        # analytic-quadric lanes (prim >= padded tri count): exact position/
+        # normal/uv (geometry/quadrics.py); mat/light/medium already came
+        # through the appended tri_shade rows above
+        from ..geometry import quadrics as quadrics_mod
+
+        quad_base = scene.tri_p.shape[0]
+        is_q = prim >= quad_base
+        qidx = jnp.where(is_q, prim - quad_base, 0)
+        pq, nq = quadrics_mod.shading(scene.quad_type, scene.quad_params,
+                                      qidx, o, d, hit.t)
+        pq = jnp.where(jnp.isfinite(pq), pq, 0.0)
+        isq1 = is_q[..., None]
+        p = jnp.where(isq1, pq, p)
+        ng = jnp.where(isq1, nq, ng)
+        ns = jnp.where(isq1, nq, ns)
+        uv = jnp.where(isq1, jnp.stack([hit.b1, hit.b2], -1), uv)
+        uv_scale = jnp.where(is_q, scene.quad_uv_scale[qidx], uv_scale)
     return ShadingPoint(
         p=p, ng=ng, ns=ns, uv=uv,
         mat=rec[..., 24].astype(jnp.int32),

@@ -54,7 +54,11 @@ def main():
                              return_counts=True)
     mat_id = int(mats[np.argmax(counts * (mats >= 0))])
 
-    def crop_mean(coeffs, tables):
+    # EVERY large array rides as a jit ARGUMENT — a closed-over scene would
+    # be serialized into the jaxpr as a constant and blow the axon remote-
+    # compile request-body limit (the r3 HTTP 413; the dispatch.bind tables
+    # pattern applied to the whole loss)
+    def crop_mean(coeffs, tables, scd, dbvhd, lsd):
         s2 = scd.replace(mat_coeffs=coeffs)
         bi = isect.bind(tables)
         total = jnp.float32(0.0)
@@ -69,15 +73,15 @@ def main():
     g = jax.jit(jax.grad(crop_mean))
 
     coeffs0 = jnp.asarray(sc.mat_coeffs)
-    grad = np.asarray(g(coeffs0, isect.tables))[mat_id]
+    grad = np.asarray(g(coeffs0, isect.tables, scd, dbvhd, lsd))[mat_id]
 
     eps = 3e-2
     fd = np.zeros(3, np.float64)
     for c in range(3):
         dv = np.zeros_like(np.asarray(coeffs0))
         dv[mat_id, c] = eps
-        up = float(f(coeffs0 + dv, isect.tables))
-        dn = float(f(coeffs0 - dv, isect.tables))
+        up = float(f(coeffs0 + dv, isect.tables, scd, dbvhd, lsd))
+        dn = float(f(coeffs0 - dv, isect.tables, scd, dbvhd, lsd))
         fd[c] = (up - dn) / (2 * eps)
 
     denom = max(np.abs(fd).max(), 1e-12)

@@ -41,7 +41,7 @@ Camera "perspective" "float fov" [ 30 ]
 WorldBegin
 LightSource "infinite" "rgb L" [ 1 1 1 ]
 {mat}
-Shape "sphere" "float radius" [ 1 ]
+{shape}
 """
 
 
@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--res", type=int, default=96)
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--maxdepth", type=int, default=5)
+    ap.add_argument("--shape",
+                    default='Shape "sphere" "float radius" [ 1 ]',
+                    help="pbrt Shape line (quadric parity probes)")
     ap.add_argument("--pbrt", default="/tmp/refbuild/pbrt")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
@@ -103,8 +106,9 @@ def main():
                 texfile=texfile, res=args.res,
                 spp=args.spp, maxdepth=args.maxdepth, out=ref_out))
         else:
-            f.write(SCENE.format(mat=mat, res=args.res, spp=args.spp,
-                                 maxdepth=args.maxdepth, out=ref_out))
+            f.write(SCENE.format(mat=mat, shape=args.shape, res=args.res,
+                                 spp=args.spp, maxdepth=args.maxdepth,
+                                 out=ref_out))
 
     print(f"[probe] {'textured ' + args.textured if args.textured else mat}",
           file=sys.stderr)
