@@ -313,6 +313,26 @@ def parse_file(path: str) -> ParseResult:
             kind = "diffuse"
         elif note:
             warn(note)
+        if kind == "measured":
+            # MeasuredMaterial (materials.h): RGL .bsdf ingested via
+            # scatter/measured.read_bsdf + resampled (bsdf_to_table); .npz
+            # is our converted-table interchange
+            fn = pget(params, "filename", "")
+            try:
+                from ..scatter import measured as measured_mod
+
+                full = os.path.join(ts.base, str(fn))
+                if str(fn).endswith(".bsdf"):
+                    table = measured_mod.bsdf_to_table(
+                        measured_mod.read_bsdf(full))
+                else:
+                    table = measured_mod.load_table(full)
+                mid = builder.add_measured_brdf(table)
+                return builder.add_material("measured", measured=mid)
+            except Exception as e:
+                warn(f"measured '{fn}' unreadable ({type(e).__name__}) "
+                     "-> diffuse")
+                return builder.add_material("diffuse")
         if kind == "interface":
             return -1
         refl = pvec(params, "reflectance", np.array([0.5, 0.5, 0.5], np.float32))

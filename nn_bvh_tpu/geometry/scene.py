@@ -133,6 +133,7 @@ class CompiledScene(NamedTuple):
     # (mu_o, mu_i, dphi) tables of spectral-uplift coefficients.
     # (T, No, Ni, Np, 4); the 1-entry zero table means "none".
     measured_coeffs: Array = None
+    measured_alpha: Array = None  # (T,) fitted GGX proxy-sampler roughness
     # env map (ImageInfiniteLight, equal-area octahedral like the reference):
     # (He, We, 4) coefficient image + luminance distribution tables
     env_coeffs: Array = None
@@ -888,8 +889,12 @@ class SceneBuilder:
             measured_coeffs = np.stack(
                 [measured_mod.table_to_coeffs(t) for t in self._measured]
             )
+            measured_alpha = np.array(
+                [measured_mod.fit_ggx_alpha(t) for t in self._measured],
+                np.float32)
         else:
             measured_coeffs = np.zeros((1, 2, 2, 2, 4), np.float32)
+            measured_alpha = np.ones((1,), np.float32)
 
         # environment map -> coefficient image + luminance sampling tables
         if self._env_image is not None:
@@ -1021,6 +1026,7 @@ class SceneBuilder:
             tex_atlas=tex_atlas,
             tex_desc=tex_desc,
             measured_coeffs=measured_coeffs,
+            measured_alpha=measured_alpha,
             tri_med_inside=tri_med_in,
             tri_med_outside=tri_med_out,
             feat_mix=bool(np.any(mat_type == MAT_MIX)),

@@ -186,6 +186,7 @@ class MaterialCtx(NamedTuple):
     meas_tab: Array = None  # (T,No,Ni,Np,4) shared measured-BRDF tables;
     #   None when the scene has no measured material
     meas_id: Array = None   # (...,) i32 per-lane table id
+    meas_alpha: Array = None  # (...,) fitted GGX proxy-sampler roughness
     lam: Array = None       # (..., S) wavelengths (measured uplift needs them)
     # spectral complex IOR at the sampled wavelengths (named-spectrum
     # conductors, util/spectrum.cpp metal-*-eta/k); None when the scene has
@@ -365,10 +366,13 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         else:
             hv = jnp.zeros(rec.shape[:-1], jnp.float32)
         h = jnp.clip(hv, -0.9995, 0.9995)
-    meas_tab = meas_id = lam_ctx = None
+    meas_tab = meas_id = meas_alpha = lam_ctx = None
     if has_measured(scene):
         meas_tab = scene.measured_coeffs
         meas_id = rec[..., 8].astype(jnp.int32)  # k slot carries the table id
+        if getattr(scene, "measured_alpha", None) is not None:
+            meas_alpha = scene.measured_alpha[
+                jnp.clip(meas_id, 0, scene.measured_alpha.shape[0] - 1)]
         lam_ctx = lam
     eta_s = k_s = None
     if has_spectral(scene) and lam is not None:
@@ -394,6 +398,7 @@ def gather_material(scene: scene_mod.CompiledScene, mat_id: Array, lam: Array,
         h=h,
         meas_tab=meas_tab,
         meas_id=meas_id,
+        meas_alpha=meas_alpha,
         lam=lam_ctx,
         eta_s=eta_s,
         k_s=k_s,
@@ -488,7 +493,7 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
 
         conds.append(t == scene_mod.MAT_MEASURED)
         fs.append(meas_mod.f(ctx.meas_tab, ctx.meas_id, wo, wi, ctx.lam))
-        pdfs.append(meas_mod.pdf(wo, wi))
+        pdfs.append(meas_mod.pdf(wo, wi, ctx.meas_alpha))
     f = jnp.select([c[..., None] for c in conds], fs,
                    default=jnp.zeros_like(f_diff))
     pdf = jnp.select(conds, pdfs, default=jnp.zeros_like(pdf_diff))
@@ -714,7 +719,8 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
         from . import measured as meas_mod
 
         wi_m, f_m, pdf_m = meas_mod.sample_f(ctx.meas_tab, ctx.meas_id, wo,
-                                             ctx.lam, u2)
+                                             ctx.lam, u2, uc=uc,
+                                             alpha=ctx.meas_alpha)
         conds.append(t == scene_mod.MAT_MEASURED)
         wis.append(wi_m)
         fss.append(jnp.broadcast_to(f_m, f_diff.shape))
