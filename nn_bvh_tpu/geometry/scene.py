@@ -141,6 +141,12 @@ class CompiledScene(NamedTuple):
     env_marg_cdf: Array = None   # (He+1,)
     env_marg_func: Array = None  # (He,)
     env_luminance: Array = None  # (He, We) sampling function
+    # portal image warp (PortalImageInfiniteLight, lights.h:631;
+    # scatter/portal.py): rectified env image + SAT over the sampling
+    # density + portal frame rows (x, y, z)
+    portal_img_coeffs: Array = None  # (Rp, Rp, 4)
+    portal_sat: Array = None         # (Rp+1, Rp+1)
+    portal_frame: Array = None       # (3, 3)
 
     # fused per-triangle shading record (N, 28), built after BVH reorder:
     # [v0 v1 v2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_id | light_id |
@@ -927,6 +933,29 @@ class SceneBuilder:
                 env_luminance=np.zeros((1, 1), np.float32),
             )
 
+        # portal image warp tables (scatter/portal.py; first portal light)
+        portal = {}
+        if self._env_image is not None:
+            for l in self._lights:
+                if l["type"] == LIGHT_PORTAL_ENV:
+                    from ..scatter import portal as portal_mod
+
+                    quad = np.asarray(l["params"][0:12],
+                                      np.float32).reshape(4, 3)
+                    xw, yw, zw = portal_mod.frame_from_quad(*quad)
+                    # orient +z away from the scene (the illuminated side
+                    # faces the env; the reference relies on vertex winding,
+                    # lights.h ImageFromRender w.z <= 0 -> invisible)
+                    centroid = np.concatenate(
+                        [t.reshape(-1, 3) for t in self._tri_p]).mean(0)
+                    if np.dot(zw, centroid - quad[0]) > 0:
+                        xw, yw, zw = yw, xw, -zw  # swap x/y keeps RH frame
+                    pic, sat = portal_mod.build_tables(
+                        self._env_image, quad, frame=(xw, yw, zw))
+                    portal = dict(portal_img_coeffs=pic, portal_sat=sat,
+                                  portal_frame=np.stack([xw, yw, zw]))
+                    break
+
         # media -> fused-gather-ready SoA columns
         if self._media:
             med_type = np.array([m["type"] for m in self._media], np.int32)
@@ -1042,6 +1071,7 @@ class SceneBuilder:
                          if self._spec_tables else None),
             **med,
             **env,
+            **portal,
         )
         # fused shading record (rebuilt after any BVH reorder)
         return out.replace(tri_shade=make_tri_shade(out))

@@ -150,24 +150,61 @@ def sample_li(
         li_gonio = li_point
 
     # ---- portal env (lights.h PortalImageInfiniteLight) -------------------
-    # sample a point on the portal quad; radiance comes from the env map in
-    # that direction; pdf is the area-to-solid-angle measure of the quad
     q0, q1 = rec[..., 8:11], rec[..., 11:14]
     q2, q3 = rec[..., 14:17], rec[..., 17:20]
-    qp = vm.lerp(u2[..., 0:1],
-                 vm.lerp(u2[..., 1:2], q0, q3),
-                 vm.lerp(u2[..., 1:2], q1, q2))
-    to_q = qp - p
-    d2q = jnp.maximum(vm.length_squared(to_q), 1e-12)
-    wi_portal = to_q * jax.lax.rsqrt(d2q)[..., None]
-    pn = vm.normalize(vm.cross(q1 - q0, q3 - q0))
-    cos_q = vm.absdot(pn, wi_portal)
-    area_q = vm.length(vm.cross(q1 - q0, q3 - q0))  # parallelogram area
-    pdf_portal = d2q / jnp.maximum(cos_q * area_q, 1e-12)
-    if has_env_map(scene):
-        li_portal = env_le(scene, wi_portal, lam)
+    if getattr(scene, "portal_sat", None) is not None:
+        # SAT image warp (lights.cpp:1226 SampleLi): sample the rectified
+        # env image restricted to the portal's axis-aligned window from p
+        from . import portal as portal_mod
+
+        fx = scene.portal_frame[0]
+        fy = scene.portal_frame[1]
+        fz = scene.portal_frame[2]
+        to_local = lambda v: jnp.stack(
+            [jnp.sum(v * fx, -1), jnp.sum(v * fy, -1),
+             jnp.sum(v * fz, -1)], -1)
+        uv0, _, v0ok = portal_mod.image_from_dir_local(
+            to_local(vm.normalize(q0 - p)))
+        uv1, _, v1ok = portal_mod.image_from_dir_local(
+            to_local(vm.normalize(q2 - p)))
+        x0 = jnp.minimum(uv0[..., 0], uv1[..., 0])
+        x1 = jnp.maximum(uv0[..., 0], uv1[..., 0])
+        y0 = jnp.minimum(uv0[..., 1], uv1[..., 1])
+        y1 = jnp.maximum(uv0[..., 1], uv1[..., 1])
+        xs, ys, pdf_uv, ok_w = portal_mod.sample_windowed(
+            scene.portal_sat, u2, x0, y0, x1, y1)
+        wloc, duv_dw = portal_mod.dir_from_image_local(
+            jnp.stack([xs, ys], -1))
+        wi_portal = (wloc[..., 0:1] * fx + wloc[..., 1:2] * fy
+                     + wloc[..., 2:3] * fz)
+        pdf_portal = jnp.where(
+            v0ok & v1ok & ok_w,
+            pdf_uv / jnp.maximum(duv_dw, 1e-9), 0.0)
+        # radiance from the rectified image (ImageLookup, lights.cpp:1217)
+        pres = scene.portal_img_coeffs.shape[0]
+        pxi = jnp.clip((xs * pres).astype(jnp.int32), 0, pres - 1)
+        pyi = jnp.clip((ys * pres).astype(jnp.int32), 0, pres - 1)
+        ptex = scene.portal_img_coeffs[pyi, pxi]
+        li_portal = (rgb2spec.eval_sigmoid_poly(ptex[..., 0:3], lam)
+                     * ptex[..., 3:4]
+                     * spectrum.illuminant_d_normalized(lam)
+                     * env_scale_total(scene))
     else:
-        li_portal = emit
+        # legacy uniform-area fallback (no env tables)
+        qp = vm.lerp(u2[..., 0:1],
+                     vm.lerp(u2[..., 1:2], q0, q3),
+                     vm.lerp(u2[..., 1:2], q1, q2))
+        to_q = qp - p
+        d2q = jnp.maximum(vm.length_squared(to_q), 1e-12)
+        wi_portal = to_q * jax.lax.rsqrt(d2q)[..., None]
+        pn = vm.normalize(vm.cross(q1 - q0, q3 - q0))
+        cos_q = vm.absdot(pn, wi_portal)
+        area_q = vm.length(vm.cross(q1 - q0, q3 - q0))
+        pdf_portal = d2q / jnp.maximum(cos_q * area_q, 1e-12)
+        if has_env_map(scene):
+            li_portal = env_le(scene, wi_portal, lam)
+        else:
+            li_portal = emit
 
     # ---- area triangle (verts via one tri_shade gather) ------------------
     tri_idx = rec[..., 8].astype(jnp.int32)
@@ -309,11 +346,40 @@ def sphere_pdf_li(lrec: Array, ref_p: Array,
 def portal_pdf_dir(scene: scene_mod.CompiledScene, light_all: Array,
                    ref_p: Array, d: Array) -> Array:
     """Solid-angle pdf that portal sampling gives direction d from ref_p,
-    summed over portal lights (PortalImageInfiniteLight::PDF_Li analog for
-    our uniform-area portal sampling). 0 if the ray misses every portal."""
+    summed over portal lights (PortalImageInfiniteLight::PDF_Li). With the
+    SAT warp tables: window-normalized image density / duv_dw; without
+    (legacy): the uniform-area quad pdf."""
     L = scene.n_lights
     out = jnp.zeros(d.shape[:-1], jnp.float32)
     lt = scene.light_type
+    if getattr(scene, "portal_sat", None) is not None:
+        from . import portal as portal_mod
+
+        fx = scene.portal_frame[0]
+        fy = scene.portal_frame[1]
+        fz = scene.portal_frame[2]
+        to_local = lambda v: jnp.stack(
+            [jnp.sum(v * fx, -1), jnp.sum(v * fy, -1),
+             jnp.sum(v * fz, -1)], -1)
+        uvd, duv_dw, dok = portal_mod.image_from_dir_local(to_local(d))
+        for i in range(L):
+            rec = light_all[i]
+            is_portal = lt[i] == scene_mod.LIGHT_PORTAL_ENV
+            q0 = rec[8:11]
+            q2 = rec[14:17]
+            uv0, _, v0ok = portal_mod.image_from_dir_local(
+                to_local(vm.normalize(q0 - ref_p)))
+            uv1, _, v1ok = portal_mod.image_from_dir_local(
+                to_local(vm.normalize(q2 - ref_p)))
+            x0 = jnp.minimum(uv0[..., 0], uv1[..., 0])
+            x1 = jnp.maximum(uv0[..., 0], uv1[..., 0])
+            y0 = jnp.minimum(uv0[..., 1], uv1[..., 1])
+            y1 = jnp.maximum(uv0[..., 1], uv1[..., 1])
+            pdf_uv = portal_mod.pdf_windowed(
+                scene.portal_sat, uvd[..., 0], uvd[..., 1], x0, y0, x1, y1)
+            pdf_i = pdf_uv / jnp.maximum(duv_dw, 1e-9)
+            out = out + jnp.where(is_portal & dok & v0ok & v1ok, pdf_i, 0.0)
+        return out
     for i in range(L):
         # static python loop over lights: portal lights are rare (usually 1)
         rec = light_all[i]
