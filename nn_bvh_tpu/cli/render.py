@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--res", default=None, help="WxH override")
     ap.add_argument("--quick", action="store_true", help="1/4 res, spp/4 (pbrt --quick)")
     ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--pixelstats", default=None, metavar="PREFIX",
+                    help="write per-pixel stats images PREFIX-<name>.png "
+                         "(--pixelstats analog, stats.cpp:443)")
     ap.add_argument("--mse-reference-image", default=None)
     ap.add_argument("--sharded", action="store_true",
                     help="shard rays over all visible devices")
@@ -147,6 +150,18 @@ def main(argv=None):
             "spp": spp,
         }
         print(json.dumps(stats))
+
+    if args.pixelstats:
+        from ..wavefront import integrator as integ_mod
+
+        imgs, totals = integ_mod.render_pixel_stats(
+            sc, dbvh, cam, spp=min(spp, 4), sampler=sampler or "sobol",
+            seed=args.seed, cfg=cfg)
+        for name, im in imgs.items():
+            mx = max(float(im.max()), 1e-9)
+            image_mod.write_png(f"{args.pixelstats}-{name}.png",
+                                np.repeat((im / mx)[..., None], 3, -1))
+        print(json.dumps(totals))
 
     if args.mse_reference_image:
         ref = (image_mod.read_pfm(args.mse_reference_image)

@@ -168,6 +168,8 @@ class CompiledScene(NamedTuple):
     med_max_density: Array = None  # (K,) majorant density (1 for homogeneous)
     med_bounds: Array = None      # (K,2,3) world AABB of the density grid
     med_grids: Array = None       # (G, D, H, W) density stack
+    med_temp_grids: Array = None  # (G2, D, H, W) Kelvin temperature stack
+    med_temp_grid_id: Array = None  # (K,) i32 index (-1 = RGB Le)
     # conservative low-res majorant grids, one per density grid: supervoxel
     # max with 1-fine-voxel dilation so it bounds the trilinear field
     # everywhere inside the supervoxel (MajorantGrid, media.h:100; fed to the
@@ -521,12 +523,19 @@ class SceneBuilder:
         Le_scale: float = 0.0,
         density: Optional[np.ndarray] = None,
         bounds: Optional[np.ndarray] = None,
+        temperature: Optional[np.ndarray] = None,
+        temperature_scale: float = 1.0,
+        temperature_offset: float = 0.0,
     ) -> int:
         """Register a participating medium (HomogeneousMedium / GridMedium,
         media.h). `density` is a (D,H,W) grid resampled to MED_GRID_RES^3;
         `bounds` its world AABB ((2,3)); sigma_* are RGB extinction chromas
         scaled by `scale` (RGBUnboundedSpectrum semantics). Emission Le is
-        multiplied by sigma_a at sample points (GridMedium Le/LeScale)."""
+        multiplied by sigma_a at sample points (GridMedium Le/LeScale).
+        `temperature` ((D,H,W) Kelvin grid, with scale/offset applied at
+        build) switches emission to per-point BLACKBODY radiance at the
+        local temperature times Le_scale (GridMedium temperature grid,
+        media.h:355 / medium_interface temperaturescale)."""
         kinds = {"homogeneous": MED_HOMOGENEOUS, "grid": MED_GRID,
                  "rgbgrid": MED_GRID, "cloud": MED_GRID, "nanovdb": MED_GRID}
         mtype = kinds[kind]
@@ -549,12 +558,25 @@ class SceneBuilder:
             maj = None
             max_density = 1.0
             bounds = np.zeros((2, 3), np.float32)
+        tgrid = None
+        if temperature is not None:
+            # blackbody path: ctx.le must carry a FLAT le_scale spectrum
+            # (media.le_at multiplies by the normalized Planck curve)
+            if not np.any(np.asarray(Le)):
+                Le = (1.0, 1.0, 1.0)
+            t = (np.asarray(temperature, np.float32) - temperature_offset) \
+                * temperature_scale
+            r = MED_GRID_RES
+            zi = (np.arange(r) * (t.shape[0] / r)).astype(np.int64)
+            yi = (np.arange(r) * (t.shape[1] / r)).astype(np.int64)
+            xi = (np.arange(r) * (t.shape[2] / r)).astype(np.int64)
+            tgrid = t[zi][:, yi][:, :, xi]
         self._media.append(
             dict(type=mtype, sigma_a=np.asarray(sigma_a, np.float32),
                  sigma_s=np.asarray(sigma_s, np.float32), scale=float(scale),
                  g=float(g), Le=np.asarray(Le, np.float32),
                  Le_scale=float(Le_scale), grid=grid, maj=maj,
-                 max_density=max_density, bounds=bounds)
+                 max_density=max_density, bounds=bounds, tgrid=tgrid)
         )
         return len(self._media) - 1
 
@@ -970,13 +992,17 @@ class SceneBuilder:
                 [sa_s * user, ss_s * user,
                  le_s * np.array([m["Le_scale"] for m in self._media], np.float32),
                  np.array([m["g"] for m in self._media], np.float32)], -1)
-            grids, majs = [], []
+            grids, majs, tgrids = [], [], []
             med_grid_id = np.full(len(self._media), -1, np.int32)
+            med_temp_grid_id = np.full(len(self._media), -1, np.int32)
             for i, m in enumerate(self._media):
                 if m["grid"] is not None:
                     med_grid_id[i] = len(grids)
                     grids.append(m["grid"])
                     majs.append(m["maj"])
+                if m.get("tgrid") is not None:
+                    med_temp_grid_id[i] = len(tgrids)
+                    tgrids.append(m["tgrid"])
             med = dict(
                 med_type=med_type, med_sa_coeffs=sa_c, med_ss_coeffs=ss_c,
                 med_le_coeffs=le_c, med_scales=med_scales.astype(np.float32),
@@ -988,6 +1014,9 @@ class SceneBuilder:
                            else np.zeros((1, 1, 1, 1), np.float32)),
                 med_maj_grids=(np.stack(majs) if majs
                                else np.ones((1, 1, 1, 1), np.float32)),
+                med_temp_grids=(np.stack(tgrids) if tgrids
+                                else np.zeros((1, 1, 1, 1), np.float32)),
+                med_temp_grid_id=med_temp_grid_id,
                 n_media=len(self._media), camera_medium=self._camera_medium,
             )
         else:
@@ -1002,6 +1031,8 @@ class SceneBuilder:
                 med_bounds=np.zeros((0, 2, 3), np.float32),
                 med_grids=np.zeros((1, 1, 1, 1), np.float32),
                 med_maj_grids=np.ones((1, 1, 1, 1), np.float32),
+                med_temp_grids=np.zeros((1, 1, 1, 1), np.float32),
+                med_temp_grid_id=np.zeros(0, np.int32),
                 n_media=0, camera_medium=-1,
             )
 

@@ -459,8 +459,18 @@ def evaluate(ctx: MaterialCtx, wo: Array, wi: Array):
         from . import layered
 
         cc_mask = t == scene_mod.MAT_COATED_CONDUCTOR
-        f_lay = layered.coated_f(ctx, wo, wi, cc_mask)
-        pdf_lay = layered.coated_pdf(ctx, wo, wi, cc_mask)
+        is_coat = cc_mask | (t == scene_mod.MAT_COATED_DIFFUSE)
+        # the walk runs on EVERY lane (masked select); non-coated lanes must
+        # feed it benign parameters — e.g. a smooth conductor's eta=0.23 as
+        # a "coat IOR" produces inf intermediates whose VJP is 0*inf = NaN
+        # (the crown-grad NaN of r4)
+        lctx = ctx._replace(
+            eta=jnp.where(is_coat | cc_mask, ctx.eta, 1.5),
+            ax=jnp.where(is_coat, ctx.ax, 0.3),
+            ay=jnp.where(is_coat, ctx.ay, 0.3),
+            coat_ax=jnp.where(is_coat, ctx.coat_ax, 0.1))
+        f_lay = layered.coated_f(lctx, wo, wi, cc_mask)
+        pdf_lay = layered.coated_pdf(lctx, wo, wi, cc_mask)
         f_cdiff = f_ccond = f_lay
         pdf_cdiff = pdf_ccond = pdf_lay
     else:
@@ -655,9 +665,16 @@ def sample(ctx: MaterialCtx, wo: Array, uc: Array, u2: Array,
         from . import layered
 
         cc_mask = t == scene_mod.MAT_COATED_CONDUCTOR
+        is_coat = cc_mask | (t == scene_mod.MAT_COATED_DIFFUSE)
+        # see evaluate(): benign params on non-coated lanes (NaN-VJP hygiene)
+        lctx = ctx._replace(
+            eta=jnp.where(is_coat | cc_mask, ctx.eta, 1.5),
+            ax=jnp.where(is_coat, ctx.ax, 0.3),
+            ay=jnp.where(is_coat, ctx.ay, 0.3),
+            coat_ax=jnp.where(is_coat, ctx.coat_ax, 0.1))
         wi_lay, f_walk, pdf_walk, valid_lay, spec_lay = layered.coated_sample(
-            ctx, wo, uc, u2, cc_mask, mode=mode)
-        pdf_lay = layered.coated_pdf(ctx, wo, wi_lay, cc_mask, mode=mode)
+            lctx, wo, uc, u2, cc_mask, mode=mode)
+        pdf_lay = layered.coated_pdf(lctx, wo, wi_lay, cc_mask, mode=mode)
         f_lay = f_walk * (pdf_lay / jnp.maximum(pdf_walk, 1e-12))[..., None]
         # fully specular walks (smooth coat + smooth/specular exits) keep the
         # walk pdf and f (delta transport: MIS never applies)

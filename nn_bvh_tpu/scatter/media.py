@@ -44,13 +44,19 @@ class MediumCtx(NamedTuple):
     bhi: Array         # (..., 3)
     sigma_maj: Array   # (..., 4) spectral majorant
     valid: Array       # (...,) med id >= 0
+    temp_grid_id: Array = None  # (...,) i32 blackbody temperature grid
+    #   (-1 = RGB Le; None when the scene has no temperature media)
 
 
 def medium_records(scene: scene_mod.CompiledScene) -> Array:
     """(K, 20) fused medium table, built in-jit (differentiable w.r.t. the
     scale/coefficient columns): [0 type | 1:4 sa_coeffs | 4:7 ss_coeffs |
     7:10 le_coeffs | 10:14 scales (sa, ss, le, g) | 14 grid_id |
-    15 max_density | 16:19 blo | 19:22 bhi] -> width 22."""
+    15 max_density | 16:19 blo | 19:22 bhi | 22 temp_grid_id] -> width 23."""
+    tg = (scene.med_temp_grid_id
+          if getattr(scene, "med_temp_grid_id", None) is not None
+          and scene.med_temp_grid_id.shape[0] == scene.med_type.shape[0]
+          else jnp.full(scene.med_type.shape, -1, jnp.int32))
     return jnp.concatenate(
         [
             scene.med_type[:, None].astype(jnp.float32),
@@ -61,6 +67,7 @@ def medium_records(scene: scene_mod.CompiledScene) -> Array:
             scene.med_grid_id[:, None].astype(jnp.float32),
             scene.med_max_density[:, None],
             scene.med_bounds.reshape(-1, 6),
+            tg[:, None].astype(jnp.float32),
         ],
         axis=-1,
     )
@@ -76,6 +83,8 @@ def gather_medium(scene: scene_mod.CompiledScene, med_id: Array, lam: Array,
     ss = rgb2spec.eval_sigmoid_poly(rec[..., 4:7], lam) * rec[..., 11:12]
     le = rgb2spec.eval_sigmoid_poly(rec[..., 7:10], lam) * rec[..., 12:13]
     max_d = rec[..., 15:16]
+    has_temp = (getattr(scene, "med_temp_grids", None) is not None
+                and scene.med_temp_grids.size > 1)
     return MediumCtx(
         med_type=rec[..., 0].astype(jnp.int32),
         sigma_a=sa, sigma_s=ss, le=le,
@@ -84,15 +93,13 @@ def gather_medium(scene: scene_mod.CompiledScene, med_id: Array, lam: Array,
         blo=rec[..., 16:19], bhi=rec[..., 19:22],
         sigma_maj=jnp.maximum((sa + ss) * max_d, 1e-20),
         valid=med_id >= 0,
+        temp_grid_id=(rec[..., 22].astype(jnp.int32) if has_temp else None),
     )
 
 
-def density(scene: scene_mod.CompiledScene, ctx: MediumCtx, p: Array) -> Array:
-    """Local density at world point p: 1 for homogeneous, trilinear grid
-    lookup for grid media (GridMedium::Density, media.h; 0 outside bounds)."""
-    if scene.n_media == 0:
-        return jnp.ones(p.shape[:-1], jnp.float32)
-    grids = scene.med_grids  # (G, D, H, W)
+def _trilerp_grid(grids: Array, gi: Array, ctx: MediumCtx, p: Array):
+    """Trilinear lookup of a (G, D, H, W) grid stack at world point p
+    inside ctx's bounds. Returns (value, in_bounds)."""
     g_, d_, h_, w_ = grids.shape
     ext = jnp.maximum(ctx.bhi - ctx.blo, 1e-20)
     # grid-space continuous coords (pbrt voxel convention: sample at centers)
@@ -105,7 +112,7 @@ def density(scene: scene_mod.CompiledScene, ctx: MediumCtx, p: Array) -> Array:
     y0 = jnp.floor(py).astype(jnp.int32)
     z0 = jnp.floor(pz).astype(jnp.int32)
     fx, fy, fz = px - x0, py - y0, pz - z0
-    gi = jnp.clip(ctx.grid_id, 0, g_ - 1)
+    gi = jnp.clip(gi, 0, g_ - 1)
 
     def at(zi, yi, xi):
         return grids[
@@ -119,9 +126,37 @@ def density(scene: scene_mod.CompiledScene, ctx: MediumCtx, p: Array) -> Array:
     d10 = vm.lerp(fx, at(z0, y0 + 1, x0), at(z0, y0 + 1, x0 + 1))
     d01 = vm.lerp(fx, at(z0 + 1, y0, x0), at(z0 + 1, y0, x0 + 1))
     d11 = vm.lerp(fx, at(z0 + 1, y0 + 1, x0), at(z0 + 1, y0 + 1, x0 + 1))
-    dens = vm.lerp(fz, vm.lerp(fy, d00, d10), vm.lerp(fy, d01, d11))
+    return vm.lerp(fz, vm.lerp(fy, d00, d10), vm.lerp(fy, d01, d11)), inb
+
+
+def density(scene: scene_mod.CompiledScene, ctx: MediumCtx, p: Array) -> Array:
+    """Local density at world point p: 1 for homogeneous, trilinear grid
+    lookup for grid media (GridMedium::Density, media.h; 0 outside bounds)."""
+    if scene.n_media == 0:
+        return jnp.ones(p.shape[:-1], jnp.float32)
+    dens, inb = _trilerp_grid(scene.med_grids, ctx.grid_id, ctx, p)
     is_grid = ctx.med_type == scene_mod.MED_GRID
     return jnp.where(is_grid, jnp.where(inb, dens, 0.0), 1.0)
+
+
+def le_at(scene: scene_mod.CompiledScene, ctx: MediumCtx, p: Array,
+          lam: Array) -> Array:
+    """Emitted radiance spectrum at point p: the medium's RGB Le, or —
+    when it carries a temperature grid — normalized BLACKBODY radiance at
+    the local Kelvin temperature times the Le scale (GridMedium temperature
+    emission, media.h:355; BlackbodySpectrum spectrum.h:497)."""
+    if ctx.temp_grid_id is None:
+        return ctx.le
+    from ..core import spectrum as sp
+
+    T, inb = _trilerp_grid(scene.med_temp_grids, ctx.temp_grid_id, ctx, p)
+    # ctx.le carries le_scale * uplift(RGB Le); for temperature media the
+    # RGB Le is (0,0,0) at build so the scale rides separately in the
+    # records — recover it from the table would cost a gather; instead the
+    # blackbody path stores Le=(1,1,1) so ctx.le IS the flat scale.
+    bb = sp.blackbody_normalized(lam, jnp.maximum(T[..., None], 1.0))
+    use_bb = (ctx.temp_grid_id >= 0) & inb & (T > 60.0)
+    return jnp.where(use_bb[..., None], ctx.le * bb, ctx.le)
 
 
 def segment_bounds(ctx: MediumCtx, o: Array, d: Array, t_hit: Array):

@@ -55,6 +55,9 @@ class IntegratorConfig(NamedTuple):
     max_null_steps: int = 64      # cap on null-scattering events per segment
     max_shadow_segments: int = 4  # shadow-ray re-spawns across boundaries
     filt: object = None           # filters.FilterConfig; None = box(0.5) jitter
+    collect_stats: bool = False   # per-pixel stats counters (STAT_PIXEL_*
+    #   analog, stats.cpp:443): trace_wave returns an extra (R, 4) array
+    #   [bounces, shadow_rays, hits, rr_terms]
     use_pallas: bool | None = None  # None = auto: Pallas packet kernel on TPU
     #   (the XLA while-loop traversal measures ~0.001 Mrays/s on TPU vs ~80
     #   Mrays/s for the packet kernel; XLA path remains the CPU/test anchor)
@@ -197,6 +200,10 @@ def trace_wave(
     prev_pdf = 1.0 + zv
     prev_p = o
     eta_scale = 1.0 + zv
+    # per-pixel stats accumulators (--pixelstats; util/stats.h:88
+    # STAT_PIXEL_COUNTER analog — device counter lanes, no thread-locals)
+    st = jnp.zeros((R, 4), jnp.float32) + zv[:, None] if cfg.collect_stats \
+        else None
     # ray-cone texture LOD state (geometry/texture.py): width at the ray
     # origin + spread angle; camera spread from the pixel solid angle
     from ..geometry import texture as texture_mod
@@ -296,12 +303,15 @@ def trace_wave(
         which keeps XLA compile time of the wave under control (the unrolled
         form took >15 min on the remote TPU compiler)."""
         (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
-         cone_w, cone_s) = state
+         cone_w, cone_s, st) = state
         base = DIM_PATH_BASE + depth * DIMS_PER_DEPTH
 
         L, found, sp, wo = add_emission(
             depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
         )
+        if cfg.collect_stats:
+            st = st.at[:, 0].add(active.astype(jnp.float32))      # bounces
+            st = st.at[:, 2].add(found.astype(jnp.float32))       # hits
         active = found
 
         # material context (one fused gather; MixMaterial resolved per lane)
@@ -340,6 +350,8 @@ def trace_wave(
             so = vm.offset_ray_origin(sp.p, ng_o, wi_l)
             s_tmax = jnp.where(want, jnp.minimum(ls.dist * 0.999, 1e30), -1.0)
             occluded = isect_any(so, wi_l, s_tmax)
+            if cfg.collect_stats:
+                st = st.at[:, 1].add(want.astype(jnp.float32))    # shadow rays
             pdf_light = ls.pdf * sel_pmf
             if cfg.mis:
                 w_l = jnp.where(
@@ -397,16 +409,18 @@ def trace_wave(
             m = jnp.max(beta, axis=-1) * eta_scale
             q = jnp.where(depth >= cfg.rr_depth, jnp.maximum(0.0, 1.0 - m), 0.0)
             die = active & (u_rr < q)
+            if cfg.collect_stats:
+                st = st.at[:, 3].add(die.astype(jnp.float32))     # RR deaths
             active = active & ~die
             beta = jnp.where(
                 active[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
             )
 
         return (o, d, L, beta, active, specular_prev, prev_pdf, prev_p,
-                eta_scale, cone_w, cone_s)
+                eta_scale, cone_w, cone_s, st)
 
     state = (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
-             cone_w, cone_s)
+             cone_w, cone_s, st)
     if cfg.max_depth > 0:
         # lax.scan (not fori_loop): the body compiles once AND reverse-mode
         # autodiff works; jax.checkpoint bounds backward memory to one bounce
@@ -417,12 +431,14 @@ def trace_wave(
             jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
         )
     (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
-     cone_w, cone_s) = state
+     cone_w, cone_s, st) = state
     # trailing emission-only segment (the depth == max_depth break)
     L, _, _, _ = add_emission(
         cfg.max_depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
     )
 
+    if cfg.collect_stats:
+        return L, lam, lam_pdf, film_w, st
     return L, lam, lam_pdf, film_w
 
 
@@ -470,6 +486,51 @@ def trace_ao(
     # flat unit spectrum -> near-white RGB after the sensor; misses are 0
     L = jnp.where(vis[..., None], jnp.ones((R, spectrum.N_SPECTRUM_SAMPLES)), 0.0)
     return L, lam, lam_pdf, film_w
+
+
+def render_pixel_stats(
+    scene: scene_mod.CompiledScene,
+    dbvh: accel.DeviceBVH,
+    cam: camera_mod.Camera,
+    spp: int = 4,
+    sampler: str = "sobol",
+    seed: int = 0,
+    cfg: IntegratorConfig = IntegratorConfig(),
+):
+    """Per-pixel statistics images (--pixelstats; StatsWritePixelImages,
+    stats.cpp:443): returns {"bounces", "shadow_rays", "hits", "rr_terms"}
+    as (H, W) float arrays averaged over spp, plus scalar totals."""
+    cfg = cfg._replace(collect_stats=True)
+    sampler_cfg = samplers.make_sampler(sampler, seed=seed, spp=spp,
+                                        width=cam.width)
+    R = cam.width * cam.height
+    pixel_idx = jnp.arange(R, dtype=jnp.int32)
+    ls = lightsamplers.build(scene, cfg.light_sampler)
+    isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+    scene_d = jax.tree.map(jnp.asarray, scene)
+    dbvh_d = jax.tree.map(jnp.asarray, dbvh)
+    ls_d = jax.tree.map(jnp.asarray, ls)
+
+    @partial(jax.jit, static_argnums=())
+    def one(s, scene_d, dbvh_d, ls_d, tables):
+        out = trace_wave(scene_d, dbvh_d, cam, sampler_cfg, cfg, pixel_idx,
+                         s, ls_d, isect.bind(tables))
+        return out[4]
+
+    acc = jnp.zeros((R, 4), jnp.float32)
+    for s in range(spp):
+        acc = acc + one(jnp.int32(s), scene_d, dbvh_d, ls_d, isect.tables)
+    acc = acc / spp
+    import numpy as np
+
+    imgs = {}
+    names = ("bounces", "shadow_rays", "hits", "rr_terms")
+    a = np.asarray(acc)
+    for i, n in enumerate(names):
+        imgs[n] = a[:, i].reshape(cam.height, cam.width)
+    totals = {f"stats/{n}": float(a[:, i].sum() * spp)
+              for i, n in enumerate(names)}
+    return imgs, totals
 
 
 def render_gbuffer(

@@ -191,10 +191,11 @@ def trace_wave_vol(
             betap = s["beta"] * T_ev / jnp.maximum(pdf_e, 1e-30)[..., None]
             r_e = s["r_u"] * sigma_maj * T_ev / jnp.maximum(pdf_e, 1e-30)[..., None]
             r_e_avg = _avg(r_e)
-            emit_ok = ev & _any_pos(ctx.le) & (r_e_avg > 0)
+            le_pt = media.le_at(scene, ctx, p, lam)
+            emit_ok = ev & _any_pos(le_pt) & (r_e_avg > 0)
             L_new = s["L"] + jnp.where(
                 emit_ok[..., None],
-                betap * sig_a * ctx.le / jnp.maximum(r_e_avg, 1e-30)[..., None],
+                betap * sig_a * le_pt / jnp.maximum(r_e_avg, 1e-30)[..., None],
                 0.0,
             )
 

@@ -339,3 +339,47 @@ def test_dda_majorant_sparse_grid_unbiased():
     tau = np.trapz(np.asarray(sigma_unit)[0, 0] * dens_line, ts)
     want = np.exp(-tau)
     assert abs(est - want) < 0.03, (est, want)
+
+
+def test_blackbody_temperature_emission():
+    """Temperature-grid medium emits blackbody radiance: a hotter grid is
+    brighter and red/blue balance follows Planck (media.h GridMedium
+    temperature emission; spectrum.h BlackbodySpectrum)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nn_bvh_tpu.geometry import scene as scene_mod
+    from nn_bvh_tpu.scatter import media
+
+    def ctx_at(T_kelvin):
+        b = scene_mod.SceneBuilder()
+        m = b.add_material("diffuse")
+        b.add_quad((-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1), m)
+        dens = np.ones((8, 8, 8), np.float32)
+        temp = np.full((8, 8, 8), T_kelvin, np.float32)
+        mid = b.add_medium("grid", sigma_a=(1, 1, 1), density=dens,
+                           bounds=[[-1, -1, -1], [1, 1, 1]],
+                           temperature=temp, Le_scale=1.0)
+        sc = b.build()
+        lam = jnp.asarray([[450.0, 550.0, 650.0, 750.0]])
+        ctx = media.gather_medium(sc, jnp.asarray([mid], jnp.int32), lam)
+        le = media.le_at(sc, ctx, jnp.zeros((1, 3)), lam)
+        return np.asarray(le)[0]
+
+    le_cool = ctx_at(1500.0)
+    le_hot = ctx_at(6000.0)
+    assert np.isfinite(le_cool).all() and np.isfinite(le_hot).all()
+    # Planck: at 1500K the 750nm band dominates the 450nm band strongly
+    assert le_cool[3] > 10.0 * le_cool[0], le_cool
+    # at 6000K the spectrum is far flatter
+    assert le_hot[0] > 0.3 * le_hot[3], le_hot
+    # zero-temperature (or missing grid) media keep their RGB Le path
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse")
+    b.add_quad((-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1), m)
+    mid = b.add_medium("homogeneous", sigma_a=(1, 1, 1), Le=(2, 2, 2),
+                       Le_scale=1.0)
+    sc = b.build()
+    lam = jnp.asarray([[450.0, 550.0, 650.0, 750.0]])
+    ctx = media.gather_medium(sc, jnp.asarray([mid], jnp.int32), lam)
+    le = np.asarray(media.le_at(sc, ctx, jnp.zeros((1, 3)), lam))[0]
+    assert (le > 0).all()

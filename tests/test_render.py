@@ -224,3 +224,32 @@ def test_mipmap_minification_no_alias():
     assert far.std() < 0.08, (far.std(), far.mean())
     # and the band mean is finite/sane
     assert 0.05 < far.mean() < 0.9
+
+
+def test_pixel_stats_counters():
+    """collect_stats returns per-lane [bounces, shadow, hits, rr] counters
+    (STAT_PIXEL_COUNTER analog) consistent with the render."""
+    import numpy as np
+    from nn_bvh_tpu import accel
+    from nn_bvh_tpu.geometry import scene as scene_mod, transform as xf
+    from nn_bvh_tpu.wavefront import camera as camera_mod, integrator
+
+    b = scene_mod.SceneBuilder()
+    m = b.add_material("diffuse")
+    b.add_quad((-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4), m)
+    b.add_uniform_infinite_light((1, 1, 1))
+    sc = b.build()
+    sc, dbvh, _ = accel.build_scene_bvh(sc)
+    cam = camera_mod.make_perspective(
+        xf.look_at((0, 3, -4), (0, 0, 0), (0, 1, 0)), fov=50.0,
+        width=16, height=16)
+    cfg = integrator.IntegratorConfig(max_depth=3, use_pallas=False)
+    imgs, totals = integrator.render_pixel_stats(sc, dbvh, cam, spp=2,
+                                                 sampler="independent",
+                                                 cfg=cfg)
+    assert set(imgs) == {"bounces", "shadow_rays", "hits", "rr_terms"}
+    assert imgs["bounces"].shape == (16, 16)
+    # the floor fills the lower image: hits > 0 there, bounces >= hits
+    assert totals["stats/hits"] > 0
+    assert totals["stats/bounces"] >= totals["stats/hits"]
+    assert totals["stats/shadow_rays"] > 0
