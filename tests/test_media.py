@@ -246,10 +246,14 @@ Shape "trianglemesh" "point3 P" [-1 0 -1  1 0 -1  1 0 1]
     assert int(np.asarray(sc.med_type)[1]) == scene_mod.MED_GRID
     assert float(np.asarray(sc.med_max_density)[1]) == 8.0
     assert abs(float(np.asarray(sc.med_scales)[0, 3]) - 0.3) < 1e-6  # g
-    # the sphere's triangles carry the medium interface; the floor does not
+    # the sphere is an analytic quadric since r4: it carries the medium
+    # interface in quad_med (and tri_shade's appended row); the floor
+    # triangles do not
+    assert sc.n_quadrics == 1
+    assert int(np.asarray(sc.quad_med)[0, 0]) == 0
+    assert int(np.asarray(sc.tri_shade)[-1, 26]) == 0  # appended quad row
     tmi = np.asarray(sc.tri_med_inside)[:sc.n_tris]
-    assert (tmi == 0).sum() > 0
-    assert tmi[-1] == -1  # floor added after the sphere
+    assert (tmi == -1).all()  # floor carries no interface
 
 
 def test_dda_majorant_sparse_grid_unbiased():
