@@ -193,3 +193,25 @@ def test_imgtool_round2_subcommands(tmp_path, capsys):
     p3 = im.read_pfm(f"{d}/p3.pfm")
     assert np.isfinite(p3).all()
     assert abs(p3.mean() - img.mean()) < 0.2
+
+
+def test_pspec_power_spectrum():
+    """pspec (cmd/pspec.cpp analog): white noise has a flat unit spectrum;
+    low-discrepancy samplers suppress the low-frequency disk."""
+    import numpy as np
+    from nn_bvh_tpu.cli import pspec
+
+    def run(kind):
+        sets = np.stack([pspec.sample_points(kind, 128, s, 1)
+                         for s in range(6)])
+        P = pspec.power_spectrum(sets, 33)
+        k = np.arange(33) - 16
+        KX, KY = np.meshgrid(k, k, indexing="xy")
+        r = np.sqrt(KX ** 2 + KY ** 2)
+        lo = (r > 0) & (r < np.sqrt(128) / 2)
+        return P[lo].mean(), P[(r > 0)].mean()
+
+    lo_w, all_w = run("independent")
+    lo_s, _ = run("sobol")
+    assert 0.8 < all_w < 1.2, all_w          # white noise: flat ~1
+    assert lo_s < 0.5 * lo_w, (lo_s, lo_w)   # sobol: low-freq suppression
