@@ -35,8 +35,20 @@ Array = jax.Array
 SPHERE = 0
 DISK = 1
 CYLINDER = 2
+BILINEAR = 3   # non-planar bilinear patch (Reshetov; shapes.h:1279)
 
 N_QUAD_PARAMS = 13
+
+
+def make_bilinear_record(p00, p10, p01, p11) -> tuple[int, np.ndarray]:
+    """Bilinear-patch record: the 4 corners packed into the param slots
+    (pbrt corner order p00 p10 p01 p11, shapes.h BilinearPatch)."""
+    p = np.zeros(N_QUAD_PARAMS, np.float32)
+    p[0:3] = np.asarray(p00, np.float32)
+    p[3:6] = np.asarray(p10, np.float32)
+    p[6:9] = np.asarray(p01, np.float32)
+    p[9:12] = np.asarray(p11, np.float32)
+    return BILINEAR, p
 
 
 def make_record(kind: str, center, radius: float, axis=(0.0, 0.0, 1.0),
@@ -70,6 +82,9 @@ def make_record(kind: str, center, radius: float, axis=(0.0, 0.0, 1.0),
 
 
 def bounds(kind: int, p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if kind == BILINEAR:
+        pts = p[0:12].reshape(4, 3)
+        return pts.min(0), pts.max(0)
     c, r = p[0:3], p[3]
     if kind == DISK:
         return c - r, c + r
@@ -146,9 +161,64 @@ def intersect(qtype: Array, qparams: Array, o: Array, d: Array, t_max: Array,
     t_cyl = jnp.where(ok_c0, c0, c1)
     ok_c = ok_c0 | ok_c1
 
+    # ---- bilinear patch (Reshetov; shapes.h:1279 IntersectBilinearPatch).
+    # P(u,v) = p00 + u a + v b + uv cc with a=p10-p00, b=p01-p00,
+    # cc=p11-p10-p01+p00. Projecting the ray equation onto two vectors
+    # k1,k2 perpendicular to d eliminates t and leaves two bilinear
+    # equations; eliminating v gives a quadratic in u.
+    bp00 = qparams[None, :, 0:3]
+    bp10 = qparams[None, :, 3:6]
+    bp01 = qparams[None, :, 6:9]
+    bp11 = qparams[None, :, 9:12]
+    ba = bp10 - bp00
+    bb = bp01 - bp00
+    bcc = bp11 - bp10 - bp01 + bp00
+    bs = bp00 - o[:, None, :]
+    k1, k2 = vm.coordinate_system(d)
+    k1 = k1[:, None, :]
+    k2 = k2[:, None, :]
+    A1 = jnp.sum(k1 * bcc, -1); B1 = jnp.sum(k1 * ba, -1)
+    C1 = jnp.sum(k1 * bb, -1); D1 = jnp.sum(k1 * bs, -1)
+    A2 = jnp.sum(k2 * bcc, -1); B2 = jnp.sum(k2 * ba, -1)
+    C2 = jnp.sum(k2 * bb, -1); D2 = jnp.sum(k2 * bs, -1)
+    qa = A1 * B2 - A2 * B1
+    qb = A1 * D2 + B2 * C1 - A2 * D1 - B1 * C2
+    qc = C1 * D2 - C2 * D1
+    has_b, u0, u1 = _quadratic(qa, qb, qc)
+    # linear fallback when the quadratic degenerates (planar-ish patches)
+    u_lin = -qc / jnp.where(jnp.abs(qb) < 1e-20, 1e-20, qb)
+    lin = jnp.abs(qa) < 1e-12 * jnp.maximum(jnp.abs(qb), 1.0)
+    dd = jnp.sum(d * d, -1)[:, None]
+
+    def _patch_eval(uu):
+        den1 = A1 * uu + C1
+        den2 = A2 * uu + C2
+        use1 = jnp.abs(den1) >= jnp.abs(den2)
+        vv = jnp.where(use1,
+                       -(B1 * uu + D1) / jnp.where(jnp.abs(den1) < 1e-20,
+                                                   1e-20, den1),
+                       -(B2 * uu + D2) / jnp.where(jnp.abs(den2) < 1e-20,
+                                                   1e-20, den2))
+        pt = bs + uu[..., None] * ba + vv[..., None] * bb \
+            + (uu * vv)[..., None] * bcc
+        tt = jnp.sum(pt * d[:, None, :], -1) / dd
+        okk = (uu >= 0) & (uu <= 1) & (vv >= 0) & (vv <= 1) & (tt > eps)
+        return jnp.where(okk, tt, jnp.inf), vv, okk
+
+    tb0, vb0, okb0 = _patch_eval(jnp.where(lin, u_lin, u0))
+    tb1, vb1, okb1 = _patch_eval(u1)
+    okb1 = okb1 & ~lin
+    pick0 = tb0 <= tb1
+    t_bil = jnp.minimum(tb0, tb1)
+    u_bil = jnp.where(pick0, jnp.where(lin, u_lin, u0), u1)
+    v_bil = jnp.where(pick0, vb0, vb1)
+    ok_b = (okb0 | okb1) & (has_b | lin)
+
     qt = qtype[None, :]
-    t_all = jnp.select([qt == SPHERE, qt == DISK], [t_sph, t_dk], t_cyl)
-    ok = jnp.select([qt == SPHERE, qt == DISK], [ok_s, ok_d], ok_c)
+    t_all = jnp.select([qt == SPHERE, qt == DISK, qt == BILINEAR],
+                       [t_sph, t_dk, t_bil], t_cyl)
+    ok = jnp.select([qt == SPHERE, qt == DISK, qt == BILINEAR],
+                    [ok_s, ok_d, ok_b], ok_c)
     ok = ok & (t_all < t_max[:, None])
     t_all = jnp.where(ok, t_all, jnp.inf)
 
@@ -164,8 +234,9 @@ def intersect(qtype: Array, qparams: Array, o: Array, d: Array, t_max: Array,
     rr = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-20))
     v_dk = (r - rr) / jnp.maximum(r - p1, 1e-9)
     v_cyl = (pz - p0) / jnp.maximum(p1 - p0, 1e-9)
-    u = u_sph
-    v = jnp.select([qt == SPHERE, qt == DISK], [v_sph, v_dk], v_cyl)
+    u = jnp.where(qt == BILINEAR, jnp.clip(u_bil, 0.0, 1.0), u_sph)
+    v = jnp.select([qt == SPHERE, qt == DISK, qt == BILINEAR],
+                   [v_sph, v_dk, jnp.clip(v_bil, 0.0, 1.0)], v_cyl)
 
     best = jnp.argmin(t_all, axis=1)
     ar = jnp.arange(R)
@@ -183,10 +254,11 @@ def intersect_any(qtype: Array, qparams: Array, o: Array, d: Array,
 
 
 def shading(qtype: Array, qparams: Array, qidx: Array, o: Array, d: Array,
-            t: Array):
+            t: Array, u: Array | None = None, v: Array | None = None):
     """Analytic position/normal at a quadric hit. qidx (R,) >= 0 assumed
-    (callers mask). Returns (p, n) with n the OUTWARD geometric normal
-    (= shading normal; quadrics are smooth)."""
+    (callers mask). u/v: parametric hit coords (needed for the bilinear-
+    patch normal dPdu x dPdv). Returns (p, n) with n the OUTWARD geometric
+    normal (= shading normal; quadrics/patches are smooth)."""
     rec = qparams[jnp.maximum(qidx, 0)]
     kind = qtype[jnp.maximum(qidx, 0)]
     c = rec[..., 0:3]
@@ -200,10 +272,28 @@ def shading(qtype: Array, qparams: Array, qidx: Array, o: Array, d: Array,
     n_cyl = vm.normalize(rel - pz * zax)
     n = jnp.select([(kind == SPHERE)[..., None], (kind == DISK)[..., None]],
                    [n_sph, n_dk], n_cyl)
+    if u is not None:
+        # bilinear patch: n = normalize(dPdu x dPdv), oriented toward -d
+        ba = rec[..., 3:6] - rec[..., 0:3]
+        bb = rec[..., 6:9] - rec[..., 0:3]
+        bcc = rec[..., 9:12] - rec[..., 3:6] - rec[..., 6:9] + rec[..., 0:3]
+        dpdu = ba + v[..., None] * bcc
+        dpdv = bb + u[..., None] * bcc
+        n_bil = vm.normalize(jnp.cross(dpdu, dpdv))
+        n_bil = jnp.where((jnp.sum(n_bil * d, -1) > 0)[..., None],
+                          -n_bil, n_bil)
+        n = jnp.where((kind == BILINEAR)[..., None], n_bil, n)
     return p, n
 
 
 def uv_scale(qtype: np.ndarray, qparams: np.ndarray) -> np.ndarray:
     """Host: approximate uv-length per world-length for ray-cone LOD."""
     r = np.maximum(qparams[:, 3], 1e-6)
-    return (1.0 / (np.pi * r)).astype(np.float32)
+    out = 1.0 / (np.pi * r)
+    for i in range(len(qtype)):
+        if qtype[i] == BILINEAR:
+            pts = qparams[i, 0:12].reshape(4, 3)
+            ext = max(np.linalg.norm(pts[1] - pts[0]),
+                      np.linalg.norm(pts[2] - pts[0]), 1e-6)
+            out[i] = 1.0 / ext
+    return out.astype(np.float32)

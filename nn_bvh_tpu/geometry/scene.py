@@ -751,6 +751,21 @@ class SceneBuilder:
             med=(int(med_inside), int(med_outside))))
         return len(self._quadrics) - 1
 
+    def add_bilinear_patch(self, p00, p10, p01, p11, material: int,
+                           light_id: int = -1, med_inside: int = -1,
+                           med_outside: int = -1) -> int:
+        """ANALYTIC bilinear patch (Reshetov intersection,
+        geometry/quadrics.py; shapes.h:1279). Exact for non-planar patches
+        that a 2-triangle split would get wrong."""
+        from . import quadrics as quadrics_mod
+
+        qt, qp = quadrics_mod.make_bilinear_record(p00, p10, p01, p11)
+        self._quadrics.append(dict(
+            type=qt, params=qp, material=int(material),
+            light=int(light_id if light_id is not None else -1),
+            med=(int(med_inside), int(med_outside))))
+        return len(self._quadrics) - 1
+
     def add_sphere(self, center, radius, material, n_theta=32, n_phi=64,
                    emission_rgb=None, emission_scale: float = 1.0,
                    two_sided: bool = False, **kw):

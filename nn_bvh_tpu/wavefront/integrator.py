@@ -127,7 +127,8 @@ def _shading_point(scene: scene_mod.CompiledScene, hit: accel.Hit, o: Array, d: 
         is_q = prim >= quad_base
         qidx = jnp.where(is_q, prim - quad_base, 0)
         pq, nq = quadrics_mod.shading(scene.quad_type, scene.quad_params,
-                                      qidx, o, d, hit.t)
+                                      qidx, o, d, hit.t,
+                                      u=hit.b1, v=hit.b2)
         pq = jnp.where(jnp.isfinite(pq), pq, 0.0)
         isq1 = is_q[..., None]
         p = jnp.where(isq1, pq, p)

@@ -128,3 +128,68 @@ def test_quadric_dispatch_any_hit_occludes():
     hit = isect.closest(o, d, jnp.full((2,), 1e30))
     assert abs(float(hit.t[0]) - 1.49) < 1e-5
     assert int(hit.prim[0]) >= sc.tri_p.shape[0]  # quadric id space
+
+
+def test_bilinear_patch_reshetov():
+    """Non-planar (twisted) bilinear patch: the Reshetov intersection finds
+    the curved surface where a 2-triangle split would be wrong
+    (shapes.h:1279)."""
+    # twisted patch: p11 lifted out of the p00/p10/p01 plane
+    p00, p10 = np.array([0, 0, 0.0]), np.array([1, 0, 0.0])
+    p01, p11 = np.array([0, 1, 0.0]), np.array([1, 1, 1.0])
+    kind, rec = quadrics.make_bilinear_record(p00, p10, p01, p11)
+    qtypes = jnp.asarray([kind], jnp.int32)
+    qparams = jnp.asarray(rec[None])
+
+    # ray straight down at (u, v) = (0.5, 0.5): P = avg corners = (.5,.5,.25)
+    o = jnp.asarray([[0.5, 0.5, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    t, idx, u, v = quadrics.intersect(qtypes, qparams, o, d,
+                                      jnp.full((1,), 1e30))
+    assert int(idx[0]) == 0
+    assert abs(float(t[0]) - 4.75) < 1e-4, float(t[0])
+    assert abs(float(u[0]) - 0.5) < 1e-4 and abs(float(v[0]) - 0.5) < 1e-4
+
+    # parametric sweep: hits must satisfy P(u,v) = o + t d to high precision
+    rs = np.random.RandomState(0)
+    n = 256
+    uu, vv = rs.rand(n), rs.rand(n)
+    targets = ((1 - uu)[:, None] * (1 - vv)[:, None] * p00
+               + uu[:, None] * (1 - vv)[:, None] * p10
+               + (1 - uu)[:, None] * vv[:, None] * p01
+               + uu[:, None] * vv[:, None] * p11)
+    o2 = jnp.asarray(targets + [0, 0, 3.0], jnp.float32)
+    d2 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+    t2, idx2, u2_, v2_ = quadrics.intersect(qtypes, qparams, o2, d2,
+                                            jnp.full((n,), 1e30))
+    hit = np.asarray(idx2) == 0
+    assert hit.mean() > 0.99, hit.mean()
+    assert np.allclose(np.asarray(u2_)[hit], uu[hit], atol=2e-3)
+    assert np.allclose(np.asarray(v2_)[hit], vv[hit], atol=2e-3)
+
+    # normal at center: dPdu x dPdv oriented toward the ray origin
+    p, nrm = quadrics.shading(qtypes, qparams, jnp.zeros((1,), jnp.int32),
+                              o, d, t, u=u, v=v)
+    nrm = np.asarray(nrm)[0]
+    dpdu = (p10 - p00) + 0.5 * (p11 - p10 - p01 + p00)
+    dpdv = (p01 - p00) + 0.5 * (p11 - p10 - p01 + p00)
+    want = np.cross(dpdu, dpdv)
+    want = want / np.linalg.norm(want)
+    if np.dot(want, [0, 0, -1]) > 0:
+        want = -want
+    assert np.allclose(nrm, want, atol=1e-4), (nrm, want)
+
+
+def test_bilinear_patch_planar_matches_quad():
+    """A planar patch behaves exactly like its two triangles."""
+    kind, rec = quadrics.make_bilinear_record(
+        [0, 0, 2.0], [1, 0, 2.0], [0, 1, 2.0], [1, 1, 2.0])
+    qtypes = jnp.asarray([kind], jnp.int32)
+    qparams = jnp.asarray(rec[None])
+    o = jnp.asarray([[0.3, 0.7, 0.0], [1.5, 0.5, 0.0]])
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3))
+    t, idx, u, v = quadrics.intersect(qtypes, qparams, o, d,
+                                      jnp.full((2,), 1e30))
+    assert int(idx[0]) == 0 and abs(float(t[0]) - 2.0) < 1e-5
+    assert abs(float(u[0]) - 0.3) < 1e-4 and abs(float(v[0]) - 0.7) < 1e-4
+    assert int(idx[1]) == -1  # outside the patch
