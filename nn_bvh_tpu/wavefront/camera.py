@@ -42,6 +42,10 @@ class Camera(NamedTuple):
     # [curvature_radius, thickness, eta, aperture_radius] (lens .dat format)
     lens_elements: Array | None = None
     film_diag: float = 0.035  # film diagonal (m), RealisticCamera filmdiag
+    # camera motion blur (AnimatedTransform, util/transform.h:444 +
+    # shutteropen/shutterclose): K pre-slerped cam_to_world keyframes over
+    # the shutter interval; None = static camera
+    motion_keys: Array | None = None  # (K, 4, 4)
 
 
 from ..utils.pytree import register_static as _register_static
@@ -214,8 +218,36 @@ def _focus_lens(el: np.ndarray, focus_distance: float) -> np.ndarray:
     return out
 
 
-def generate_rays(cam: Camera, pixel_idx: Array, u_pixel: Array, u_lens: Array):
-    """pixel_idx: (R,) flat pixel index; u_pixel/u_lens: (R,2) jitters.
+def interpolate_motion(cam: Camera, u_time: Array) -> Array:
+    """Per-lane camera matrix for shutter times u_time (R,) in [0,1):
+    piecewise-linear blend of the pre-slerped keyframe matrices (the slerp
+    nonlinearity is baked into the K keys at build; AnimatedTransform
+    interpolation, transform.h:444)."""
+    keys = cam.motion_keys
+    K = keys.shape[0]
+    f = jnp.clip(u_time, 0.0, 1.0 - 1e-6) * (K - 1)
+    i0 = f.astype(jnp.int32)
+    fr = (f - i0)[..., None, None]
+    return keys[i0] * (1.0 - fr) + keys[i0 + 1] * fr
+
+
+def with_motion(cam: Camera, cam_to_world_end, n_keys: int = 16) -> Camera:
+    """Attach a shutter-close transform: pre-slerps n_keys matrices between
+    the camera's transform (shutter open) and cam_to_world_end."""
+    from ..geometry import animated
+
+    at = animated.AnimatedTransform(
+        np.asarray(cam.cam_to_world), 0.0,
+        np.asarray(cam_to_world_end), 1.0)
+    keys = np.stack([at.interpolate(i / (n_keys - 1))
+                     for i in range(n_keys)])
+    return cam._replace(motion_keys=jnp.asarray(keys, jnp.float32))
+
+
+def generate_rays(cam: Camera, pixel_idx: Array, u_pixel: Array, u_lens: Array,
+                  u_time: Array | None = None):
+    """pixel_idx: (R,) flat pixel index; u_pixel/u_lens: (R,2) jitters;
+    u_time: (R,) shutter times (camera motion blur; ignored when static).
 
     Returns (o, d) world-space rays. Screen-window convention follows pbrt
     (cameras.cpp): FOV spans the shorter axis, +y up in screen space.
@@ -301,6 +333,14 @@ def generate_rays(cam: Camera, pixel_idx: Array, u_pixel: Array, u_lens: Array):
         )
         d_cam = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), o_cam.shape)
 
+    if cam.motion_keys is not None and u_time is not None:
+        # per-lane shutter-time camera matrix (camera motion blur)
+        m = interpolate_motion(cam, u_time)            # (R, 4, 4)
+        Rm = m[..., :3, :3]
+        tm = m[..., :3, 3]
+        o = jnp.einsum("rij,rj->ri", Rm, o_cam) + tm
+        d = jnp.einsum("rij,rj->ri", Rm, d_cam)
+        return o, d
     R = cam.cam_to_world[:3, :3]
     t = cam.cam_to_world[:3, 3]
     o = o_cam @ R.T + t

@@ -181,8 +181,13 @@ def trace_wave(
     upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
     u_pix, film_w = _filter_jitter(cfg, jnp.stack([upx, upy], -1))
     ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
+    # shutter time (camera motion blur): a dim consumed ONLY for animated
+    # cameras so static scenes keep their exact sample sequences
+    animated_cam = cam.motion_keys is not None
+    u_time = (samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_PATH_BASE)
+              if animated_cam else None)
     o, d = camera_mod.generate_rays(
-        cam, pixel_idx, u_pix, jnp.stack([ulx, uly], -1)
+        cam, pixel_idx, u_pix, jnp.stack([ulx, uly], -1), u_time=u_time
     )
 
     # --- wavelengths ------------------------------------------------------
@@ -305,7 +310,8 @@ def trace_wave(
         form took >15 min on the remote TPU compiler)."""
         (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
          cone_w, cone_s, st) = state
-        base = DIM_PATH_BASE + depth * DIMS_PER_DEPTH
+        base = DIM_PATH_BASE + (1 if animated_cam else 0) \
+            + depth * DIMS_PER_DEPTH
 
         L, found, sp, wo = add_emission(
             depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
@@ -467,8 +473,13 @@ def trace_ao(
     upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
     u_pix, film_w = _filter_jitter(cfg, jnp.stack([upx, upy], -1))
     ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
+    # shutter time (camera motion blur): a dim consumed ONLY for animated
+    # cameras so static scenes keep their exact sample sequences
+    animated_cam = cam.motion_keys is not None
+    u_time = (samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_PATH_BASE)
+              if animated_cam else None)
     o, d = camera_mod.generate_rays(
-        cam, pixel_idx, u_pix, jnp.stack([ulx, uly], -1)
+        cam, pixel_idx, u_pix, jnp.stack([ulx, uly], -1), u_time=u_time
     )
     ul = samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_WAVELENGTH)
     lam, lam_pdf = spectrum.sample_wavelengths_visible(ul)

@@ -166,3 +166,40 @@ def test_realistic_camera_rays_form_image():
     c = 4 * 9 + 4
     if ok[c]:
         assert abs(d[c, 0]) < 0.3 and abs(d[c, 1]) < 0.3
+
+
+def test_camera_motion_blur_smears():
+    """Camera motion blur (AnimatedTransform keys + per-ray shutter time):
+    a moving camera smears a high-contrast edge that a static camera keeps
+    sharp (cameras.h shutteropen/close semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nn_bvh_tpu import accel
+    from nn_bvh_tpu.geometry import scene as scene_mod, transform as xf
+    from nn_bvh_tpu.wavefront import camera as camera_mod, integrator
+
+    b = scene_mod.SceneBuilder()
+    white = b.add_material("diffuse", reflectance=(0.9, 0.9, 0.9))
+    # a thin bright quad against black space
+    b.add_quad((-0.15, -2, 0), (0.15, -2, 0), (0.15, 2, 0), (-0.15, 2, 0),
+               white)
+    b.add_uniform_infinite_light((1, 1, 1), scale=0.02)
+    lid = b.add_point_light((0, 0, -3), scale=40.0)
+    sc = b.build()
+    sc, dbvh, _ = accel.build_scene_bvh(sc)
+    m0 = xf.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0))
+    m1 = xf.look_at((1.2, 0, -4), (1.2, 0, 0), (0, 1, 0))
+    cam = camera_mod.make_perspective(m0, fov=35.0, width=48, height=8)
+    cfg = integrator.IntegratorConfig(max_depth=2, use_pallas=False)
+    sharp = np.asarray(integrator.render(sc, dbvh, cam, spp=8,
+                                         sampler="independent", cfg=cfg))
+    cam_mb = camera_mod.with_motion(cam, m1)
+    blurred = np.asarray(integrator.render(sc, dbvh, cam_mb, spp=16,
+                                           sampler="independent", cfg=cfg))
+    row_s = sharp[4].mean(-1)
+    row_b = blurred[4].mean(-1)
+    # static: narrow bright band; animated: wider, dimmer band
+    thr = 0.4 * row_s.max()
+    assert (row_b > 0.4 * row_b.max()).sum() > 1.8 * (row_s > thr).sum(), (
+        (row_s > thr).sum(), (row_b > 0.4 * row_b.max()).sum())
+    assert row_b.max() < 0.8 * row_s.max()

@@ -215,3 +215,36 @@ class TestImageIO:
         b = np.zeros((4, 4, 3))
         assert image_mod.mse(a, b) == 1.0
         assert image_mod.mse(a, a) == 0.0
+
+
+def test_animated_transform_interpolation():
+    """AnimatedTransform (util/transform.h:444): T/R/S decomposition +
+    slerp reproduces pure rotations exactly at keyframes and rotates rigidly
+    (no shear) at midpoints, where direct matrix lerp would shrink."""
+    import numpy as np
+    from nn_bvh_tpu.geometry import animated, transform as xf
+
+    m0 = np.eye(4, dtype=np.float32)
+    m1 = np.asarray(xf.rotate(90.0, (0, 0, 1)), np.float32)
+    at = animated.AnimatedTransform(m0, 0.0, m1, 1.0)
+    assert at.actually_animated
+    assert np.allclose(at.interpolate(0.0), m0, atol=1e-6)
+    assert np.allclose(at.interpolate(1.0), m1, atol=1e-5)
+    mid = at.interpolate(0.5)
+    # rigid: rotating (1,0,0) stays unit length (matrix lerp gives 0.707)
+    p = mid[:3, :3] @ np.array([1.0, 0, 0])
+    assert abs(np.linalg.norm(p) - 1.0) < 1e-5
+    # and lands at 45 degrees
+    assert abs(np.degrees(np.arctan2(p[1], p[0])) - 45.0) < 1e-3
+
+    # translation + rotation compose
+    m2 = np.asarray(xf.translate((2, 0, 0)) @ xf.rotate(90.0, (0, 1, 0)),
+                    np.float32)
+    at2 = animated.AnimatedTransform(m0, 0.0, m2, 1.0)
+    mid2 = at2.interpolate(0.5)
+    assert np.allclose(mid2[:3, 3], [1.0, 0, 0], atol=1e-5)
+
+    # motion bounds contain the swept box
+    lo, hi = at2.motion_bounds(np.array([-0.1, -0.1, -0.1]),
+                               np.array([0.1, 0.1, 0.1]))
+    assert (lo <= -0.1).all() and hi[0] >= 2.1 - 1e-4
