@@ -53,9 +53,15 @@ def length(v: Array) -> Array:
 
 
 def normalize(v: Array) -> Array:
-    """Safe normalize: zero vectors stay zero (no NaN)."""
+    """Safe normalize: zero vectors stay zero — in VALUE and in GRADIENT.
+
+    Double-where: rsqrt'(x) = -x^{-3/2}/2 overflows f32 below x ~ 2e-26, and
+    the chain rule multiplies that inf by the (zero) cotangent of the masked
+    branch — 0*inf = NaN (the r4 crown-gradient TPU NaN). The masked lanes
+    must therefore never SEE the tiny operand."""
     len2 = length_squared(v)
-    inv = jnp.where(len2 > 0, jax.lax.rsqrt(jnp.maximum(len2, 1e-30)), 0.0)
+    ok = len2 > 1e-20
+    inv = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, len2, 1.0)), 0.0)
     return v * inv[..., None]
 
 

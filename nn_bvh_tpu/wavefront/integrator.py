@@ -368,8 +368,14 @@ def trace_wave(
                 )
             else:
                 w_l = jnp.ones((R,), jnp.float32)
-            contrib = beta * f_l * (cos_l * w_l / jnp.maximum(pdf_light, 1e-20))[..., None] * ls.li
-            L = L + jnp.where((want & ~occluded)[..., None], contrib, 0.0)
+            # double-where: masked lanes must not form the (possibly inf)
+            # product at all — its VJP factor times the zero cotangent is
+            # 0*inf = NaN (the r4 crown-gradient hunt)
+            take = want & ~occluded
+            w_over = jnp.where(
+                take, cos_l * w_l / jnp.maximum(pdf_light, 1e-20), 0.0)
+            contrib = beta * f_l * w_over[..., None] * ls.li
+            L = L + jnp.where(take[..., None], contrib, 0.0)
 
         # BSDF sampling / next bounce (EvaluateMaterialsAndBSDFs, surfscatter.cpp:39)
         uc = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 0)
@@ -391,7 +397,9 @@ def trace_wave(
             bs = bxdf.sample(ctx, wo_local, uc, jnp.stack([ubu, ubv], -1))
         wi_world = vm.from_local(sp.ns, bs.wi)
         cos_b = vm.absdot(wi_world, sp.ns)
-        beta_new = beta * bs.f * (cos_b / jnp.maximum(bs.pdf, 1e-20))[..., None]
+        inv_pdf_b = jnp.where(bs.valid,
+                              1.0 / jnp.maximum(bs.pdf, 1e-20), 0.0)
+        beta_new = beta * bs.f * (cos_b * inv_pdf_b)[..., None]
         active = active & bs.valid & jnp.any(beta_new > 0, axis=-1)
         beta = jnp.where(active[..., None], beta_new, beta)
         specular_prev = jnp.where(active, bs.specular, specular_prev)

@@ -23,4 +23,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compile cache: repeat suite runs skip XLA compilation entirely
+# (the dominant cost of these tests on a 2-core box)
+import sys as _sys  # noqa: E402
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nn_bvh_tpu.utils.cache import enable_jax_cache  # noqa: E402
+
+enable_jax_cache()
+# tests compile many small waves; cache them all (the util default of 10s
+# only catches the big ones)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.devices()[0].platform == "cpu", "tests must not run on the TPU chip"

@@ -6,6 +6,7 @@ the strategy fan-out is O(depth^2) jitted stages and CPU compile time grows
 with it."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nn_bvh_tpu import accel
@@ -43,6 +44,7 @@ def quad_light_scene():
     return sc, dbvh, cam
 
 
+@pytest.mark.slow
 def test_bdpt_matches_path_arealight():
     """Area-light scene: BDPT and Path converge to the same mean — checks
     that the per-strategy MIS weights sum to 1 over each path length."""

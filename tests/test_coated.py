@@ -58,6 +58,7 @@ def test_coated_sample_pdf_consistency(kind, rough):
     assert abs(est_s - est_u) / max(est_u, 1e-9) < 0.12, (est_s, est_u)
 
 
+@pytest.mark.slow
 def test_coated_diffuse_furnace_bounded():
     """Coated white diffuse in a unit furnace: energy <= 1 and most energy
     preserved (single-scattering layer approximation loses the multiple

@@ -8,6 +8,7 @@ makes the multi-host film-band reduction exact (dist/sharding.py).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -28,30 +29,29 @@ def _scene():
     sc, dbvh, _ = accel.build_scene_bvh(sc)
     cam = camera_mod.make_perspective(
         xf.look_at((0, 2.5, -4), (0, 0.6, 0), (0, 1, 0)), fov=40.0,
-        width=24, height=24)
+        width=16, height=16)
     return sc, dbvh, cam
 
 
 def test_same_seed_bit_identical():
     sc, dbvh, cam = _scene()
     cfg = integrator.IntegratorConfig(max_depth=3, use_pallas=False)
-    img1 = np.asarray(integrator.render(sc, dbvh, cam, spp=4, seed=7,
+    img1 = np.asarray(integrator.render(sc, dbvh, cam, spp=2, seed=7,
                                         sampler="sobol", cfg=cfg))
-    img2 = np.asarray(integrator.render(sc, dbvh, cam, spp=4, seed=7,
+    img2 = np.asarray(integrator.render(sc, dbvh, cam, spp=2, seed=7,
                                         sampler="sobol", cfg=cfg))
     assert np.array_equal(img1, img2), np.abs(img1 - img2).max()
     # and a different seed must actually change the image
-    img3 = np.asarray(integrator.render(sc, dbvh, cam, spp=4, seed=8,
+    img3 = np.asarray(integrator.render(sc, dbvh, cam, spp=2, seed=8,
                                         sampler="sobol", cfg=cfg))
     assert not np.array_equal(img1, img3)
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device():
     """8-virtual-device tile-sharded render == single-device render exactly
     (order-independent film accumulation; dist/sharding.py)."""
     if jax.device_count() < 8:
-        import pytest
-
         pytest.skip("needs 8 virtual devices (conftest sets XLA_FLAGS)")
     from nn_bvh_tpu.dist import sharding as dist_sharding
 

@@ -32,6 +32,7 @@ def tiny():
     return sc, dbvh, cam
 
 
+@pytest.mark.slow
 def test_joint_step_grads_both_branches(tiny):
     sc, dbvh, cam = tiny
     tree_cfg = treenet.TreeNetConfig(levels=2, capacity=8, pc_size=32)

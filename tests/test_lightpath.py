@@ -1,6 +1,7 @@
 """LightPath integrator + FunctionIntegrator tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nn_bvh_tpu import accel
@@ -28,6 +29,7 @@ def _box_scene():
     return sc, dbvh, cam
 
 
+@pytest.mark.slow
 def test_lightpath_matches_path():
     """Light tracing and path tracing estimate the same image (mean within
     statistical tolerance) — the strongest check of the camera importance

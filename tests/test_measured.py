@@ -4,6 +4,7 @@ tabulate analytic BRDFs and check round-trip accuracy, sampling consistency,
 and end-to-end dispatch + render agreement with the analytic material."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -86,6 +87,7 @@ def test_sampling_consistency():
     assert abs(est - 0.5) < 0.02, est
 
 
+@pytest.mark.slow
 def test_render_dispatch_matches_diffuse():
     """End to end: a scene whose floor uses a tabulated Lambertian renders
     the same as the analytic diffuse floor (integrator + dispatch path)."""

@@ -138,6 +138,7 @@ def test_volpath_homogeneous_absorption():
     assert abs(got - want) < 0.035, (got, want)
 
 
+@pytest.mark.slow
 def test_volpath_grid_matches_homogeneous():
     sigma = 0.8
     sc1, db1, cam = _slab_scene(sigma_a=sigma)

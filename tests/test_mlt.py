@@ -2,6 +2,7 @@
 Metropolis chain must converge to the same image as the Path integrator."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nn_bvh_tpu import accel
@@ -25,6 +26,7 @@ def quad_light_scene():
     return sc, dbvh, cam
 
 
+@pytest.mark.slow
 def test_mlt_matches_path():
     sc, dbvh, cam = quad_light_scene()
     cfg = integrator.IntegratorConfig(max_depth=3, mis=True, rr_depth=99)

@@ -104,6 +104,7 @@ class TestIntegratorsAgree:
 
 
 class TestDeterminism:
+    @pytest.mark.slow
     def test_same_seed_same_image(self):
         sc, dbvh, cam = quad_light_scene()
         cfg = integrator.IntegratorConfig(max_depth=3)
@@ -111,6 +112,7 @@ class TestDeterminism:
         b = integrator.render(sc, dbvh, cam, spp=4, seed=7, cfg=cfg)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_different_seed_differs(self):
         sc, dbvh, cam = quad_light_scene()
         cfg = integrator.IntegratorConfig(max_depth=3)

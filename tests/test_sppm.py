@@ -4,6 +4,7 @@ Same idiom as integrators_test.cpp: analytic scenes, cross-integrator
 agreement with Path within the reference's +-0.025 band."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nn_bvh_tpu import accel
@@ -40,6 +41,7 @@ def test_sppm_direct_matches_path():
     assert abs(m_p - m_s) < TOL, (m_p, m_s)
 
 
+@pytest.mark.slow
 def test_sppm_indirect_matches_path():
     """Depth-3 diffuse interreflection: photon density estimation must agree
     with the unbiased path estimate within the reference's band (radius bias
@@ -54,6 +56,7 @@ def test_sppm_indirect_matches_path():
     assert abs(m_p - m_s) < 2 * TOL, (m_p, m_s)
 
 
+@pytest.mark.slow
 def test_sppm_radius_shrinks_and_stats():
     """Per-pixel radii must shrink monotonically where photons land, and the
     dropped-photon counter reports cap overflow instead of hiding it."""

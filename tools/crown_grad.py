@@ -39,11 +39,14 @@ def main():
         "stage first: python tools/refbuild/crown_golden.py"
     sc, dbvh, cam, res = pbrt_parser.load_scene(scene_file)
     # small central crop: shrink the film; camera rays still cover the crown
-    cam = cam._replace(width=64, height=64)
-    cfg = integrator.IntegratorConfig(max_depth=4, mis=True, kind="path")
+    res_px = int(os.environ.get("CROWN_GRAD_RES", "64"))
+    depth = int(os.environ.get("CROWN_GRAD_DEPTH", "4"))
+    cam = cam._replace(width=res_px, height=res_px)
+    cfg = integrator.IntegratorConfig(max_depth=depth, mis=True, kind="path")
     sampler_cfg = samplers.make_sampler("independent", seed=7, spp=2)
     ls = lightsamplers.build(sc, cfg.light_sampler)
-    isect = dispatch.make_intersectors(sc, dbvh)
+    isect = dispatch.make_intersectors(
+        sc, dbvh, sort=not os.environ.get("CROWN_GRAD_NOSORT"))
     scd, dbvhd, lsd = jax.tree.map(jnp.asarray, (sc, dbvh, ls))
 
     R = cam.width * cam.height
