@@ -40,6 +40,7 @@ Array = jax.Array
 UNIFORM = 0
 POWER = 1
 BVH = 2
+EXHAUSTIVE = 3
 
 
 def compute_light_powers(scene: scene_mod.CompiledScene) -> np.ndarray:
@@ -234,7 +235,7 @@ def _build_light_bvh(rows):
 
 def build(scene: scene_mod.CompiledScene, kind: str = "power") -> LightSamplerTables:
     kinds = {"uniform": UNIFORM, "power": POWER, "bvh": BVH,
-             "exhaustive": UNIFORM}
+             "exhaustive": EXHAUSTIVE}
     k = kinds[kind]
     L = scene.n_lights
     z1 = jnp.zeros((1,), jnp.float32)
@@ -251,7 +252,8 @@ def build(scene: scene_mod.CompiledScene, kind: str = "power") -> LightSamplerTa
     empty = jnp.zeros((0,), jnp.float32)
     if L == 0:
         return LightSamplerTables(k, empty, empty, **dummy_bvh)
-    if k == UNIFORM:
+    if k in (UNIFORM, EXHAUSTIVE):
+        # Exhaustive's context-free Sample is uniform (lightsamplers.h:418)
         pmf_ = np.full(L, 1.0 / L, np.float32)
     else:
         p = compute_light_powers(scene)
@@ -261,6 +263,40 @@ def build(scene: scene_mod.CompiledScene, kind: str = "power") -> LightSamplerTa
         pmf_ = np.maximum(pmf_, 1e-8)
         pmf_ /= pmf_.sum()
     cdf = np.cumsum(pmf_).astype(np.float32)
+
+    if k == EXHAUSTIVE:
+        # ExhaustiveLightSampler (lightsamplers.cpp:251-312): keep each
+        # bounded light's LightBounds as ONE leaf "node"; Sample/PMF
+        # evaluate importance over ALL of them (ground truth for the BVH).
+        powers = compute_light_powers(scene)
+        rows, inf_ids = _light_bounds(scene, powers)
+        if rows:
+            ids = np.asarray([r[0] for r in rows], np.int32)
+            blo = np.stack([r[1] for r in rows]).astype(np.float32)
+            bhi = np.stack([r[2] for r in rows]).astype(np.float32)
+            w = np.stack([np.asarray(r[3], np.float32) for r in rows])
+            cos = np.asarray([(np.cos(r[4]), np.cos(r[5])) for r in rows],
+                             np.float32)
+            phi = np.asarray([r[6] for r in rows], np.float32)
+            meta = np.stack([ids, np.ones_like(ids),
+                             np.asarray([int(bool(r[7])) for r in rows],
+                                        np.int32)], axis=1)
+            in_bvh = np.zeros(L, bool)
+            in_bvh[ids] = True
+            n_inf = len(inf_ids)
+            p_inf = n_inf / (n_inf + 1.0) if n_inf else 0.0
+            return LightSamplerTables(
+                EXHAUSTIVE, jnp.asarray(pmf_), jnp.asarray(cdf),
+                node_blo=jnp.asarray(blo), node_bhi=jnp.asarray(bhi),
+                node_w=jnp.asarray(w), node_cos=jnp.asarray(cos),
+                node_phi=jnp.asarray(phi), node_meta=jnp.asarray(meta),
+                light_trail=jnp.zeros((L,), jnp.uint32),
+                light_in_bvh=jnp.asarray(in_bvh),
+                inf_ids=jnp.asarray(np.asarray(inf_ids, np.int32)
+                                    if inf_ids else np.zeros(1, np.int32)),
+                p_infinite=float(p_inf), bvh_depth=0, has_bvh=True,
+            )
+        k = UNIFORM  # only infinite lights
 
     if k == BVH:
         powers = compute_light_powers(scene)
@@ -334,9 +370,18 @@ def _importance(t: LightSamplerTables, node: Array, p: Array) -> Array:
     return jnp.maximum(imp, 0.0)
 
 
+def _exhaustive_importances(t: LightSamplerTables, p: Array) -> Array:
+    """(R, Lb) LightBounds importances of every bounded light at p."""
+    Lb = t.node_phi.shape[0]
+    return jax.vmap(lambda l: _importance(t, l, p))(jnp.arange(Lb)).T
+
+
 def sample_ctx(t: LightSamplerTables, p: Array, u: Array):
-    """Context-aware Sample (BVHLightSampler::Sample, lightsamplers.h:266):
+    """Context-aware Sample (BVHLightSampler::Sample, lightsamplers.h:266;
+    ExhaustiveLightSampler::Sample, lightsamplers.cpp:268):
     p (R,3) reference points, u (R,) -> (light_id, pmf, u_remapped)."""
+    if t.kind == EXHAUSTIVE and t.has_bvh:
+        return _sample_exhaustive(t, p, u)
     if t.kind != BVH or not t.has_bvh:
         return sample(t, u)
     R = u.shape[0]
@@ -387,9 +432,63 @@ def sample_ctx(t: LightSamplerTables, p: Array, u: Array):
     return jnp.where(valid, lid, -1), pmf_out, u_out
 
 
+def _sample_exhaustive(t: LightSamplerTables, p: Array, u: Array):
+    """ExhaustiveLightSampler::Sample (lightsamplers.cpp:268): infinite
+    lights with pInfinite = n_inf/(n_inf+1), else CDF inversion over the
+    per-light importances (identical in distribution to the reference's
+    weighted-reservoir pass — same selection PMF)."""
+    R = u.shape[0]
+    n_inf = t.inf_ids.shape[0] if float(t.p_infinite) > 0 else 0
+    p_inf = jnp.float32(t.p_infinite)
+    take_inf = u < p_inf
+    if n_inf > 0:
+        ui = jnp.clip(u / jnp.maximum(p_inf, 1e-9), 0.0, 1.0 - 2**-24)
+        inf_k = jnp.minimum((ui * n_inf).astype(jnp.int32), n_inf - 1)
+        inf_id = t.inf_ids[inf_k]
+        inf_pmf = p_inf / n_inf
+    else:
+        inf_id = jnp.full((R,), -1, jnp.int32)
+        inf_pmf = 0.0
+    ub = jnp.clip((u - p_inf) / jnp.maximum(1.0 - p_inf, 1e-9),
+                  0.0, 1.0 - 2**-24)
+    imp = _exhaustive_importances(t, p)                     # (R, Lb)
+    total = imp.sum(-1)                                     # (R,)
+    csum = jnp.cumsum(imp, axis=-1)
+    target = ub[:, None] * total[:, None]
+    idx = jnp.sum((csum <= target).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(idx, 0, imp.shape[1] - 1)
+    sel_imp = jnp.take_along_axis(imp, idx[:, None], axis=-1)[:, 0]
+    lo = jnp.where(idx == 0, 0.0,
+                   jnp.take_along_axis(csum, jnp.maximum(idx - 1, 0)[:, None],
+                                       axis=-1)[:, 0])
+    u2 = jnp.clip((target[:, 0] - lo) / jnp.maximum(sel_imp, 1e-20),
+                  0.0, 1.0 - 2**-24)
+    ok = total > 0
+    pmf_b = (1.0 - p_inf) * sel_imp / jnp.maximum(total, 1e-30)
+    lid_b = t.node_meta[idx, 0]
+    lid = jnp.where(take_inf, inf_id, jnp.where(ok, lid_b, -1))
+    pmf_out = jnp.where(take_inf, inf_pmf, pmf_b)
+    u_out = jnp.where(take_inf, jnp.zeros_like(u), u2)
+    return lid, pmf_out, u_out
+
+
 def pmf_ctx(t: LightSamplerTables, p: Array, light_id: Array) -> Array:
     """Context-aware PMF (BVHLightSampler::PMF bit-trail walk,
-    lightsamplers.h:324)."""
+    lightsamplers.h:324; ExhaustiveLightSampler::PMF,
+    lightsamplers.cpp:296)."""
+    if t.kind == EXHAUSTIVE and t.has_bvh:
+        L = t.pmf.shape[0]
+        lid = jnp.clip(light_id, 0, L - 1)
+        in_b = t.light_in_bvh[lid]
+        imp = _exhaustive_importances(t, p)                 # (R, Lb)
+        total = imp.sum(-1)
+        match = t.node_meta[None, :, 0] == lid[:, None]     # (R, Lb)
+        light_imp = jnp.sum(jnp.where(match, imp, 0.0), axis=-1)
+        p_inf = float(t.p_infinite)
+        pmf_b = (1.0 - p_inf) * light_imp / jnp.maximum(total, 1e-30)
+        n_inf = t.inf_ids.shape[0] if p_inf > 0 else 0
+        inf_pmf = (p_inf / n_inf) if n_inf > 0 else 0.0
+        return jnp.where(in_b, pmf_b, inf_pmf)
     if t.kind != BVH or not t.has_bvh:
         return pmf(t, light_id)
     L = t.pmf.shape[0]
@@ -432,7 +531,7 @@ def sample(tables: LightSamplerTables, u: Array) -> tuple[Array, Array, Array]:
     if L == 0:
         z = jnp.zeros_like(u)
         return jnp.full(u.shape, -1, jnp.int32), z, u
-    if tables.kind == UNIFORM:
+    if tables.kind in (UNIFORM, EXHAUSTIVE):
         lid = jnp.minimum((u * L).astype(jnp.int32), L - 1)
         u2 = jnp.clip(u * L - lid.astype(jnp.float32), 0.0, 1.0 - 2**-24)
         return lid, jnp.full(u.shape, 1.0 / L), u2
@@ -449,6 +548,6 @@ def pmf(tables: LightSamplerTables, light_id: Array) -> Array:
     L = tables.pmf.shape[0]
     if L == 0:
         return jnp.zeros(light_id.shape, jnp.float32)
-    if tables.kind == UNIFORM:
+    if tables.kind in (UNIFORM, EXHAUSTIVE):
         return jnp.full(light_id.shape, 1.0 / L)
     return tables.pmf[jnp.clip(light_id, 0, L - 1)]

@@ -2,12 +2,12 @@
 
 TPU-native counterpart of the reference's Medium family (`base/medium.h:76`,
 impls `media.h/cpp`): HomogeneousMedium and GridMedium (RGBGrid/Cloud/NanoVDB
-are converted to density grids at scene-build time). The reference's
-RayMajorantIterator DDA over a low-res majorant grid (`media.h:135`
-DDAMajorantIterator) is replaced by ONE conservative majorant per medium —
-on a vector machine a per-voxel majorant walk makes every lane's control flow
-diverge, while a scalar majorant keeps the null-scattering loop uniform and
-costs only extra (perfectly coherent) null collisions.
+are converted to density grids at scene-build time). Like the reference's
+RayMajorantIterator (`media.h:135` DDAMajorantIterator), grid media walk a
+low-res majorant grid: `dda_init`/`dda_advance` below run the DDA per lane
+with branch-free `jnp.where` stepping, so each lane uses a locally tight
+majorant while control flow stays uniform across the vector. Homogeneous
+media use a single conservative majorant (no grid to walk).
 
 All property evaluation is pure VPU math over (R,)-batched lanes with a single
 fused medium-record gather (same discipline as bxdf.gather_material).

@@ -289,3 +289,48 @@ def test_portal_sat_variance_below_uniform():
     # the quoted-MSE gate: SAT variance at least 5x below uniform-area
     v_sat, v_uni = e_sat.var(), e_uni.var()
     assert v_sat * 5.0 < v_uni, (v_sat, v_uni)
+
+
+def test_exhaustive_sampler_pmf_consistency_and_vs_bvh():
+    """Exhaustive (lightsamplers.cpp:268-312) is the ground truth the BVH
+    sampler approximates: its pmf must sum to 1, match its own sample
+    histogram, and correlate with the BVH sampler's choices."""
+    sc, dbvh, _ = _many_light_scene()
+    t = lightsamplers.build(sc, "exhaustive")
+    assert t.kind == lightsamplers.EXHAUSTIVE and t.has_bvh
+    L = sc.n_lights
+    pt = jnp.asarray([1.0, 0.5, 2.0])
+    ids = jnp.arange(L, dtype=jnp.int32)
+    pp = jnp.broadcast_to(pt, (L, 3))
+    pmfs = np.asarray(lightsamplers.pmf_ctx(t, pp, ids))
+    assert abs(pmfs.sum() - 1.0) < 1e-3, pmfs.sum()
+    # histogram of samples matches pmf
+    n = 16384
+    rs = np.random.RandomState(11)
+    u = jnp.asarray(rs.rand(n), jnp.float32)
+    p = jnp.broadcast_to(pt, (n, 3))
+    lid, pmf_s, u2 = lightsamplers.sample_ctx(t, p, u)
+    lid = np.asarray(lid)
+    assert np.all(lid >= 0)
+    hist = np.bincount(lid, minlength=L) / n
+    assert np.abs(hist - pmfs).max() < 0.03
+    # reported pmf at sample time matches pmf_ctx
+    pmfs_at = np.asarray(lightsamplers.pmf_ctx(t, p, jnp.asarray(lid)))
+    assert np.allclose(np.asarray(pmf_s), pmfs_at, rtol=1e-3, atol=1e-5)
+    assert np.all((np.asarray(u2) >= 0) & (np.asarray(u2) < 1))
+    # BVH sampler PMF vs exhaustive ground truth: same support, and the
+    # stochastic-descent pmf should be within ~4x of exhaustive everywhere
+    # (the tree loses per-light resolution but must not starve a light)
+    tb = lightsamplers.build(sc, "bvh")
+    pmfs_bvh = np.asarray(lightsamplers.pmf_ctx(tb, pp, ids))
+    live = pmfs > 1e-5
+    ratio = pmfs_bvh[live] / pmfs[live]
+    assert ratio.min() > 0.05 and ratio.max() < 20.0, (ratio.min(), ratio.max())
+
+
+def test_exhaustive_contextfree_uniform():
+    sc, dbvh, _ = _many_light_scene()
+    t = lightsamplers.build(sc, "exhaustive")
+    u = jnp.asarray([0.1, 0.6, 0.95], jnp.float32)
+    lid, pmf_s, _ = lightsamplers.sample(t, u)
+    assert np.allclose(np.asarray(pmf_s), 1.0 / sc.n_lights)
