@@ -30,7 +30,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import traverse, pallas_traverse, hbm_traverse, pallas_bvh8
+from . import traverse, pallas_traverse, hbm_traverse, pallas_bvh8, pallas_bvh4
 
 
 class BoundIntersectors(NamedTuple):
@@ -70,6 +70,13 @@ class Intersectors:
                 bounds_tab, meta_tab, tri_tab, *a, any_hit=False)
             _any = lambda *a: pallas_bvh8._traverse_bvh8(
                 bounds_tab, meta_tab, tri_tab, *a, any_hit=True).prim >= 0
+        elif self.backend in ("bvh4", "bvh4_hbm"):
+            node_tab, tri_tab = t
+            res = self.backend == "bvh4"
+            _closest = lambda *a: pallas_bvh4._traverse_bvh4(
+                node_tab, tri_tab, *a, any_hit=False, tri_resident=res)
+            _any = lambda *a: pallas_bvh4._traverse_bvh4(
+                node_tab, tri_tab, *a, any_hit=True, tri_resident=res).prim >= 0
         elif self.backend == "pallas_vmem":
             node_tab, tri_tab = t
             _closest = lambda *a: pallas_traverse._traverse_packed(
@@ -149,22 +156,32 @@ def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
         return Intersectors("xla", tables, scene.bounds, sort=False,
                             quad_base=n_tris)
 
-    # NOTE on BVH8 (pallas_bvh8): measured SLOWER than the binary packet
-    # kernel on v5e (incoherent 65k-tri bench: bvh8 93ms vs binary 40ms
-    # sorted) — saturated packets are dominated by LEAF triangle tests, so
-    # the 8-10x interior-node collapse doesn't pay for the extra per-
-    # iteration child extraction. Kept selectable via BVH_BACKEND=bvh8 for
-    # future revisits; binary + unrolled tri loop + 32-row tiles wins today.
+    # Default backend (r5): BVH4 wide nodes with bf16-packed bounds
+    # (pallas_bvh4.py) — half the iterations of the binary kernel, and the
+    # compressed node table stays VMEM-resident up to multi-M-tri scenes
+    # (crown ~9 MB), which measured 13-20x faster than the old HBM
+    # block-cache kernel at 1.6-5.6M tris and ~par on the 65k bench scene.
+    # BVH_BACKEND=binary|bvh8|hbm selects the older kernels for comparison.
     import os as _os
 
-    if _os.environ.get("BVH_BACKEND") == "bvh8":
+    forced = _os.environ.get("BVH_BACKEND")
+    if forced == "bvh8":
         psw = pallas_bvh8.PackedSceneW(dbvh, scene.tri_p)
         if psw.usable():
             return Intersectors(
                 "pallas_bvh8",
                 ((psw.bounds_tab, psw.meta_tab, psw.tri_tab), quads),
                 scene.bounds, sort=sort, quad_base=n_tris)
-    if pallas_traverse.usable(dbvh, n_tris):
+    if forced not in ("binary", "hbm"):
+        ps4 = pallas_bvh4.PackedSceneW4(dbvh, scene.tri_p)
+        if ps4.tri_resident():
+            return Intersectors("bvh4", ((ps4.node_tab, ps4.tri_tab_2d), quads),
+                                scene.bounds, sort=sort, quad_base=n_tris)
+        if ps4.usable():
+            return Intersectors("bvh4_hbm",
+                                ((ps4.node_tab, ps4.tri_tab_3d), quads),
+                                scene.bounds, sort=sort, quad_base=n_tris)
+    if forced != "hbm" and pallas_traverse.usable(dbvh, n_tris):
         ps = pallas_traverse.PackedScene(dbvh, scene.tri_p)
         return Intersectors("pallas_vmem", ((ps.node_tab, ps.tri_tab), quads),
                             scene.bounds, sort=sort, quad_base=n_tris)

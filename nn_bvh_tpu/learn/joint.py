@@ -64,9 +64,12 @@ class JointState(NamedTuple):
 
 def make_joint_loss(tree_cfg: treenet.TreeNetConfig, cam, sampler_cfg,
                     render_cfg, tree_weight: float = 1.0,
+                    # (early_exit forced off below: the loss runs under
+                    # value_and_grad and lax.while_loop has no reverse rule)
                     target: Array | None = None):
     """loss(state, scene, dbvh, ls_tables, clouds, pixel_idx, sample_idx)
     -> (scalar, aux). Pure; shard-map/pjit friendly (no host callbacks)."""
+    render_cfg = render_cfg._replace(early_exit=False)
 
     def loss_fn(state: JointState, scene, dbvh, ls_tables, clouds,
                 pixel_idx, sample_idx):

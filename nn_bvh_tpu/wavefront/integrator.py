@@ -61,6 +61,13 @@ class IntegratorConfig(NamedTuple):
     use_pallas: bool | None = None  # None = auto: Pallas packet kernel on TPU
     #   (the XLA while-loop traversal measures ~0.001 Mrays/s on TPU vs ~80
     #   Mrays/s for the packet kernel; XLA path remains the CPU/test anchor)
+    early_exit: bool = True       # bounce loop = lax.while_loop that stops
+    #   when every lane is dead — the analog of the reference's wavefront
+    #   ray queue draining empty (integrator.cpp:374 loop just finds no
+    #   work). Essential for maxdepth-100 scenes (crown) where RR kills
+    #   ~all paths by depth ~15. MUST be False under jax.grad: while_loop
+    #   has no reverse rule (diff paths: learn/joint, tools/crown_grad,
+    #   tests/test_diff set it explicitly).
 
 
 def _filter_jitter(cfg: IntegratorConfig, u2: Array):
@@ -437,14 +444,28 @@ def trace_wave(
     state = (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
              cone_w, cone_s, st)
     if cfg.max_depth > 0:
-        # lax.scan (not fori_loop): the body compiles once AND reverse-mode
-        # autodiff works; jax.checkpoint bounds backward memory to one bounce
-        def scan_body(s, depth):
-            return bounce(depth, s), None
+        if cfg.early_exit:
+            # all-dead early exit (active is state[4])
+            def wcond(carry):
+                depth, s = carry
+                return (depth < cfg.max_depth) & jnp.any(s[4])
 
-        state, _ = jax.lax.scan(
-            jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
-        )
+            def wbody(carry):
+                depth, s = carry
+                return depth + 1, bounce(depth, s)
+
+            _, state = jax.lax.while_loop(
+                wcond, wbody, (jnp.int32(0), state))
+        else:
+            # lax.scan (not fori_loop): the body compiles once AND reverse-
+            # mode autodiff works; jax.checkpoint bounds backward memory to
+            # one bounce
+            def scan_body(s, depth):
+                return bounce(depth, s), None
+
+            state, _ = jax.lax.scan(
+                jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
+            )
     (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
      cone_w, cone_s, st) = state
     # trailing emission-only segment (the depth == max_depth break)

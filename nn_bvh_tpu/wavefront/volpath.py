@@ -591,12 +591,27 @@ def trace_wave_vol(
     state = (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
              eta_scale, cone_w, cone_s)
     if cfg.max_depth > 0:
-        def scan_body(s, depth):
-            return bounce(depth, s), None
+        if cfg.early_exit:
+            # all-dead early exit (active is state[6]); the analog of the
+            # reference's wavefront ray queue draining empty. Crown renders
+            # with maxdepth 100 but RR kills ~all paths by ~15 bounces.
+            def wcond(carry):
+                depth, s = carry
+                return (depth < cfg.max_depth) & jnp.any(s[6])
 
-        state, _ = jax.lax.scan(
-            jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
-        )
+            def wbody(carry):
+                depth, s = carry
+                return depth + 1, bounce(depth, s)
+
+            _, state = jax.lax.while_loop(
+                wcond, wbody, (jnp.int32(0), state))
+        else:
+            def scan_body(s, depth):
+                return bounce(depth, s), None
+
+            state, _ = jax.lax.scan(
+                jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
+            )
     # trailing emission-only segment (scatter events past max depth terminate)
     state = bounce(jnp.int32(cfg.max_depth), state, allow_scatter=False)
     L = state[2]

@@ -35,7 +35,8 @@ def setup():
     cam = camera_mod.make_perspective(
         xf.look_at((0, 2, -5), (0, 0, 0), (0, 1, 0)), fov=40.0, width=RES, height=RES
     )
-    cfg = integrator.IntegratorConfig(max_depth=3, mis=True, rr_depth=99)
+    cfg = integrator.IntegratorConfig(max_depth=3, mis=True, rr_depth=99,
+                                      early_exit=False)  # runs under jax.grad
     sampler_cfg = samplers.make_sampler("sobol", seed=0, spp=4)
     lst = lightsamplers.build(sc, cfg.light_sampler)
     return sc, dbvh, cam, cfg, sampler_cfg, lst

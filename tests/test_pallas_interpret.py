@@ -142,3 +142,91 @@ def test_hbm_kernel_cache_eviction(small_scene, ray_batch, anchor,
         _check_any(occ, occ_ref, t_max)
     finally:
         jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# BVH4 wide-node kernel (accel/pallas_bvh4.py): bf16-compressed bounds,
+# both triangle-residency variants, plus packing unit checks
+# ---------------------------------------------------------------------------
+
+from nn_bvh_tpu.accel import pallas_bvh4, bvh4  # noqa: E402
+
+
+def test_bf16_directed_rounding():
+    rs = np.random.RandomState(5)
+    x = np.concatenate([
+        (rs.randn(256) * 10 ** rs.uniform(-6, 6, 256)).astype(np.float32),
+        np.array([0.0, -0.0, 1.0, -1.0, 3e38, -3e38], np.float32),
+    ])
+    lo = bvh4._bf16_down(x).view(np.float32)
+    hi = bvh4._bf16_up(x).view(np.float32)
+    assert (lo <= x).all() and (hi >= x).all()
+    # within one bf16 ulp (relative 2^-7 of magnitude)
+    finite = np.abs(x) < 1e38
+    assert (np.abs(hi - lo)[finite] <= np.maximum(np.abs(x), 1e-30)[finite]
+            * 2 ** -6).all()
+
+
+def test_bvh4_collapse_covers_all_prims(small_scene):
+    sc, dbvh = small_scene
+    wl, wh, wm = bvh4.collapse_bvh4(
+        np.asarray(dbvh.node_lo)[:dbvh.n_nodes],
+        np.asarray(dbvh.node_hi)[:dbvh.n_nodes],
+        np.asarray(dbvh.node_meta)[:dbvh.n_nodes])
+    seen = np.zeros(sc.tri_p.shape[0], bool)
+    for w in range(len(wm)):
+        for k in range(4):
+            m = wm[w, k]
+            if m < 0:
+                u = -m - 1
+                off, cnt = u // 16, u % 16 + 1
+                seen[off:off + cnt] = True
+    meta = np.asarray(dbvh.node_meta)[:dbvh.n_nodes]
+    real = np.zeros(sc.tri_p.shape[0], bool)
+    for off, cnt, _ in meta:
+        if cnt > 0:
+            real[off:off + cnt] = True
+    assert (seen == real).all()
+
+
+def test_bvh4_kernel_closest(small_scene, ray_batch, anchor):
+    sc, dbvh = small_scene
+    o, d, t_max = ray_batch
+    hit_ref, _ = anchor
+    hit = pallas_bvh4.intersect_closest(
+        jax.tree.map(jnp.asarray, dbvh), jnp.asarray(sc.tri_p),
+        o, d, t_max, interpret=True)
+    _check_closest(hit, hit_ref, t_max)
+
+
+def test_bvh4_kernel_any(small_scene, ray_batch, anchor):
+    sc, dbvh = small_scene
+    o, d, t_max = ray_batch
+    _, occ_ref = anchor
+    occ = pallas_bvh4.intersect_any(
+        jax.tree.map(jnp.asarray, dbvh), jnp.asarray(sc.tri_p),
+        o, d, t_max, interpret=True)
+    _check_any(occ, occ_ref, t_max)
+
+
+def test_bvh4_hbm_tri_variant(small_scene, ray_batch, anchor, monkeypatch):
+    """Force the HBM-triangle + VMEM cache variant (big-scene path) with a
+    2-slot cache so the fill path contends; results must stay exact."""
+    sc, dbvh = small_scene
+    o, d, t_max = ray_batch
+    hit_ref, occ_ref = anchor
+    monkeypatch.setattr(pallas_bvh4, "TRI_SLOTS", 2)
+    jax.clear_caches()
+    try:
+        ps = pallas_bvh4.PackedSceneW4(
+            jax.tree.map(jnp.asarray, dbvh), jnp.asarray(sc.tri_p))
+        hit = pallas_bvh4._traverse_bvh4(
+            ps.node_tab, ps.tri_tab_3d, o, d, t_max,
+            any_hit=False, tri_resident=False, interpret=True)
+        _check_closest(hit, hit_ref, t_max)
+        occ = pallas_bvh4._traverse_bvh4(
+            ps.node_tab, ps.tri_tab_3d, o, d, t_max,
+            any_hit=True, tri_resident=False, interpret=True).prim >= 0
+        _check_any(occ, occ_ref, t_max)
+    finally:
+        jax.clear_caches()
