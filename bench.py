@@ -1,30 +1,45 @@
 #!/usr/bin/env python
 """Benchmark: wavefront path-tracer throughput on the attached accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", + crown_*}.
 
-Metric: traced rays/second on a procedural mid-complexity scene (65k
+Primary metric: traced rays/second on a procedural mid-complexity scene (65k
 triangles, area light, mixed diffuse/conductor materials), Path integrator
-with MIS, depth 5, 400x400 — modeled after the killeroo-simple BASELINE config
-(scenes/killeroos/killeroo-simple-v4.pbrt: 400x400; SimplePath 16spp).
+with MIS, depth 4, 400x400 — modeled after the killeroo-simple BASELINE
+config (scenes/killeroos/killeroo-simple-v4.pbrt: 400x400).
 
 Rays counted like the reference's wavefront stats (wavefront/integrator.h:141:
 cameraRays + indirect + shadow rays): each wave launches R camera rays,
-R*(depth) indirect batches, R*depth shadow batches (dense lanes: on TPU a
+R*depth indirect batches, R*depth shadow batches (dense lanes: on TPU a
 masked lane costs the same as a live one, so this is the honest hardware
-throughput measure).
+throughput measure). Timings are closed by a host readback (the axon tunnel's
+block_until_ready can return early for device work; BASELINE.md r3).
 
-BASELINE_RAYS_PER_S is provisional until the pbrt-v4 CPU binary numbers are
-recorded (BASELINE.md: reference publishes none); set to a typical multicore
-CPU wavefront throughput for this scene class.
+BASELINE_RAYS_PER_S = 12e6: measured extrapolation, not a guess — the
+reference pbrt-v4 CPU binary measured 1.02 Mrays/s on 2 threads on this box
+(BASELINE.md "Measured on this box"), i.e. 0.51 Mrays/s/thread; a 24-thread
+server-class CPU running the reference's wavefront path extrapolates to
+~12 Mrays/s. vs_baseline > 1 therefore means one TPU chip beats a full
+server-class CPU on the reference's own renderer.
+
+Secondary metric (the north-star scene): crown 250x350 volpath maxdepth 100
+(the tools/crown_gate.py config). Reported as crown_dense_rays_per_s
+(R*(2*maxdepth+1)*waves/s — same dense-lane formula as BASELINE.md r4, for
+round-over-round comparability) and crown_live_rays_per_s (actual live
+closest+shadow lanes from the per-pixel stats counters). Skipped gracefully
+(fields absent) if the crown scene can't be staged (needs /root/reference)
+or NN_BVH_BENCH_CROWN=0.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-BASELINE_RAYS_PER_S = 20e6  # provisional: pbrt-v4 CPU-class wavefront throughput
+BASELINE_RAYS_PER_S = 12e6  # measured extrapolation; see module docstring
 
 
 def build_bench_scene():
@@ -50,15 +65,12 @@ def build_bench_scene():
     sc, dbvh, bvh = accel.build_scene_bvh(sc)
     cam = camera_mod.make_perspective(
         xf.look_at((0, 3.0, -9.0), (0, 1.0, 0), (0, 1, 0)), fov=50.0,
-        width=256, height=256,
+        width=400, height=400,
     )
     return sc, dbvh, bvh, cam
 
 
-def main():
-    from nn_bvh_tpu.utils.cache import enable_jax_cache
-
-    enable_jax_cache()
+def bench_primary():
     import jax
     import jax.numpy as jnp
     from nn_bvh_tpu.core import samplers
@@ -71,15 +83,15 @@ def main():
     wave = integrator.make_wave_fn(sc, dbvh, cam, sampler_cfg, cfg)
 
     film = film_mod.make_film(cam.height, cam.width)
-    # warmup + compile
+    # warmup + compile (readback closes it)
     film = wave(film, jnp.int32(0))
-    jax.block_until_ready(film.xyz)
+    float(jnp.sum(film.xyz))
 
     n_waves = 4
     t0 = time.perf_counter()
     for s in range(1, 1 + n_waves):
         film = wave(film, jnp.int32(s))
-    jax.block_until_ready(film.xyz)
+    float(jnp.sum(film.xyz))  # readback-closed timing
     dt = time.perf_counter() - t0
 
     R = cam.width * cam.height
@@ -89,13 +101,81 @@ def main():
     img = film_mod.develop(film)
     mean = float(jnp.mean(img))
     assert np.isfinite(mean) and mean > 0, "bench render produced bad image"
+    return rays_per_s
 
-    print(json.dumps({
+
+def bench_crown():
+    """Crown 250x350 volpath wave throughput (dense-lane + live-ray)."""
+    scene_file = "/tmp/crown_golden/crown_golden.pbrt"
+    if not os.path.exists(scene_file):
+        if not os.path.exists("/root/reference/scenes/crown"):
+            return None
+        subprocess.check_call(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "refbuild", "crown_golden.py")])
+    import jax
+    import jax.numpy as jnp
+    from nn_bvh_tpu.geometry import pbrt_parser
+    from nn_bvh_tpu.core import samplers
+    from nn_bvh_tpu.wavefront import integrator, volpath, film as film_mod
+    from nn_bvh_tpu.accel import dispatch
+
+    sc, dbvh, cam, res = pbrt_parser.load_scene(scene_file)
+    cfg = integrator.IntegratorConfig(
+        max_depth=res.max_depth, mis=True, kind="volpath",
+        light_sampler="power", rr_depth=2, collect_stats=True)
+    sampler_cfg = samplers.make_sampler("halton", seed=0, spp=64,
+                                        width=cam.width)
+    isect = dispatch.make_intersectors(sc, dbvh, sort=not cfg.resort)
+    from nn_bvh_tpu.scatter import lightsamplers
+
+    ls = lightsamplers.build(sc, cfg.light_sampler)
+    scd, dbvhd, lsd = jax.tree.map(jnp.asarray, (sc, dbvh, ls))
+    R = cam.width * cam.height
+    pixel_idx = jnp.arange(R, dtype=jnp.int32)
+
+    def one(s, scd, dbvhd, lsd, tables):
+        out = volpath.trace_wave_vol(scd, dbvhd, cam, sampler_cfg, cfg,
+                                     pixel_idx, s, lsd, isect.bind(tables))
+        return out[0], out[4]
+
+    jw = jax.jit(one)
+    L, st = jw(jnp.int32(0), scd, dbvhd, lsd, isect.tables)
+    float(jnp.sum(L))  # close compile+warmup
+
+    n_waves = 2
+    live = 0.0
+    t0 = time.perf_counter()
+    for s in range(1, 1 + n_waves):
+        L, st = jw(jnp.int32(s), scd, dbvhd, lsd, isect.tables)
+        live += float(jnp.sum(st[:, 0]) + jnp.sum(st[:, 1]))
+    dt = time.perf_counter() - t0
+    dense = n_waves * R * (2 * cfg.max_depth + 1) / dt
+    return {"crown_dense_rays_per_s": round(dense, 1),
+            "crown_live_rays_per_s": round(live / dt, 1),
+            "crown_wave_s": round(dt / n_waves, 2)}
+
+
+def main():
+    from nn_bvh_tpu.utils.cache import enable_jax_cache
+
+    enable_jax_cache()
+    rays_per_s = bench_primary()
+    out = {
         "metric": "rays_per_s_1chip",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
-    }))
+    }
+    if os.environ.get("NN_BVH_BENCH_CROWN", "1") != "0":
+        try:
+            crown = bench_crown()
+            if crown:
+                out.update(crown)
+        except Exception as e:  # crown is best-effort; primary metric stands
+            out["crown_error"] = str(e)[:120]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -459,7 +459,15 @@ def ray_sort_key(o: Array, d: Array, blo: Array, bext: Array,
 
 
 def make_sorted_isect(fn, bounds):
-    """Wrap a batched intersector with sort -> traverse -> unsort."""
+    """Wrap a batched intersector with sort -> traverse -> unsort.
+
+    NOTE: one argsort of ~87k keys costs ~20 ms on v5e (XLA's TPU sort is a
+    comparator network). The wavefront integrators therefore sort their lane
+    STATE once per bounce (resort in integrator/volpath) and call the raw
+    kernels; this wrapper remains for standalone batches (AO, G-buffer,
+    subsurface probes, tools). A cheap counting sort over coarse buckets was
+    tried and rejected: the (R,128) cumsum it needs is itself >40 ms on TPU
+    and the coarser clustering tripled kernel iterations."""
     blo = jnp.asarray(bounds[0], jnp.float32)
     bext = jnp.maximum(jnp.asarray(bounds[1], jnp.float32) - blo, 1e-9)
 

@@ -61,6 +61,12 @@ class IntegratorConfig(NamedTuple):
     use_pallas: bool | None = None  # None = auto: Pallas packet kernel on TPU
     #   (the XLA while-loop traversal measures ~0.001 Mrays/s on TPU vs ~80
     #   Mrays/s for the packet kernel; XLA path remains the CPU/test anchor)
+    resort: bool = True           # re-sort the LANE STATE each bounce by
+    #   (dead, octant, Morton) of the outgoing rays and run the traversal
+    #   kernels unsorted: one ~20 ms argsort serves every traversal in the
+    #   bounce instead of one per intersector call (the sorted-wrapper
+    #   scheme paid ~45 ms of sort machinery per call). No-op on the XLA
+    #   backend. The wavefront analog of the reference's queue compaction.
     early_exit: bool = True       # bounce loop = lax.while_loop that stops
     #   when every lane is dead — the analog of the reference's wavefront
     #   ray queue draining empty (integrator.cpp:374 loop just finds no
@@ -169,11 +175,17 @@ def trace_wave(
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
     if isect is None:
-        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+        isect = dispatch.make_intersectors(scene, dbvh,
+                                           use_pallas=cfg.use_pallas,
+                                           sort=not cfg.resort)
     # host-numpy scenes become jnp constants (numpy can't index by tracers)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
     _closest, _any = isect.closest, isect.any_hit
+    do_resort = cfg.resort and isect.backend != "xla"
+    sort_blo = jnp.asarray(scene.bounds[0], jnp.float32)
+    sort_bext = jnp.maximum(
+        jnp.asarray(scene.bounds[1], jnp.float32) - sort_blo, 1e-9)
 
     # visibility is gradient-detached (SURVEY.md §7.1 diff/: gradients flow
     # through shading, not geometry) — and the traversal while_loop has no
@@ -250,7 +262,8 @@ def trace_wave(
         )
         use_portal = lights.has_portal(scene)
 
-    def add_emission(depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p):
+    def add_emission(depth, o, d, L, beta, active, specular_prev, prev_pdf,
+                     prev_p, lam):
         """Intersect + escaped-ray + emissive-hit contributions; returns
         (L, found, sp, wo, hit)."""
         t_max = jnp.where(active, 1e30, -1.0)
@@ -316,12 +329,26 @@ def trace_wave(
         which keeps XLA compile time of the wave under control (the unrolled
         form took >15 min on the remote TPU compiler)."""
         (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
-         cone_w, cone_s, st) = state
+         cone_w, cone_s, st, pixel_idx, lam, perm) = state
         base = DIM_PATH_BASE + (1 if animated_cam else 0) \
             + depth * DIMS_PER_DEPTH
 
+        if do_resort:
+            # one argsort per bounce re-clusters the whole lane state (dead
+            # lanes + octant/Morton); every traversal below runs pre-sorted
+            key = pallas_traverse.ray_sort_key(
+                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                sort_blo, sort_bext, jnp.where(active, 1.0, -1.0))
+            order = jnp.argsort(key)
+            (o, d, L, beta, active, specular_prev, prev_pdf, prev_p,
+             eta_scale, cone_w, cone_s, st, pixel_idx, lam, perm) = \
+                jax.tree.map(lambda a: a[order],
+                             (o, d, L, beta, active, specular_prev, prev_pdf,
+                              prev_p, eta_scale, cone_w, cone_s, st,
+                              pixel_idx, lam, perm))
+
         L, found, sp, wo = add_emission(
-            depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
+            depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p, lam
         )
         if cfg.collect_stats:
             st = st.at[:, 0].add(active.astype(jnp.float32))      # bounces
@@ -439,10 +466,11 @@ def trace_wave(
             )
 
         return (o, d, L, beta, active, specular_prev, prev_pdf, prev_p,
-                eta_scale, cone_w, cone_s, st)
+                eta_scale, cone_w, cone_s, st, pixel_idx, lam, perm)
 
+    perm0 = jnp.arange(R, dtype=jnp.int32) + zv.astype(jnp.int32)
     state = (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
-             cone_w, cone_s, st)
+             cone_w, cone_s, st, pixel_idx, lam, perm0)
     if cfg.max_depth > 0:
         if cfg.early_exit:
             # all-dead early exit (active is state[4])
@@ -467,13 +495,16 @@ def trace_wave(
                 jax.checkpoint(scan_body), state, jnp.arange(cfg.max_depth)
             )
     (o, d, L, beta, active, specular_prev, prev_pdf, prev_p, eta_scale,
-     cone_w, cone_s, st) = state
+     cone_w, cone_s, st, pix_f, lam_f, perm_f) = state
     # trailing emission-only segment (the depth == max_depth break)
     L, _, _, _ = add_emission(
-        cfg.max_depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p
+        cfg.max_depth, o, d, L, beta, active, specular_prev, prev_pdf, prev_p,
+        lam_f
     )
-
+    # scatter back to caller lane order (perm[i] = original lane of lane i)
+    L = jnp.zeros_like(L).at[perm_f].set(L)
     if cfg.collect_stats:
+        st = jnp.zeros_like(st).at[perm_f].set(st)
         return L, lam, lam_pdf, film_w, st
     return L, lam, lam_pdf, film_w
 

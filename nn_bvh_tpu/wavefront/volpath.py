@@ -37,7 +37,7 @@ from ..core import vecmath as vm, sampling, spectrum, samplers, rng
 from ..geometry import scene as scene_mod
 from ..scatter import bxdf, lights, lightsamplers, media
 from .. import accel
-from ..accel import dispatch
+from ..accel import dispatch, pallas_traverse
 from . import camera as camera_mod
 from . import integrator as integrator_mod
 from .integrator import (
@@ -71,22 +71,31 @@ def trace_wave_vol(
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
     if isect is None:
-        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+        isect = dispatch.make_intersectors(scene, dbvh,
+                                           use_pallas=cfg.use_pallas,
+                                           sort=not cfg.resort)
     scene = jax.tree.map(jnp.asarray, scene)
     dbvh = jax.tree.map(jnp.asarray, dbvh)
     _closest = isect.closest
     sg = jax.lax.stop_gradient
     isect_closest = lambda *a: jax.tree.map(sg, _closest(*map(sg, a)))
+    # in-loop lane-state re-sort (see bounce): pointless for the per-ray XLA
+    # walk, essential for the shared-stack packet kernels
+    do_resort = cfg.resort and isect.backend != "xla"
+    sort_blo = jnp.asarray(scene.bounds[0], jnp.float32)
+    sort_bext = jnp.maximum(
+        jnp.asarray(scene.bounds[1], jnp.float32) - sort_blo, 1e-9)
 
     R = pixel_idx.shape[0]
     S = spectrum.N_SPECTRUM_SAMPLES
     sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
     has_media = scene.n_media > 0
 
-    def _rand(*salts):
+    def _rand(pixel_idx, *salts):
         """Counter-based uniform per lane (the reference seeds a per-segment
         RNG from the sampler, integrators.cpp:975; ours is keyed on the
-        pixel/sample/loop counters directly)."""
+        pixel/sample/loop counters directly). pixel_idx rides as an argument
+        because the bounce loop re-sorts the lane state (resort)."""
         return rng.hash_float(pixel_idx, sidx, jnp.uint32(sampler_cfg.seed),
                               *[jnp.asarray(s, jnp.uint32) for s in salts])
 
@@ -135,7 +144,8 @@ def trace_wave_vol(
     # with the VolPath callback of integrators.cpp:981-1068 inlined)
     # ------------------------------------------------------------------
     def medium_events(depth, o, d, t_hit, cur_med, beta, r_u, r_l, L, run0,
-                      allow_scatter):
+                      allow_scatter, pixel_idx, lam):
+        rand = lambda *salts: _rand(pixel_idx, *salts)
         ctx = media.gather_medium(scene, cur_med, lam, med_all)
         t0, t1 = media.segment_bounds(ctx, o, d, jnp.where(jnp.isfinite(t_hit), t_hit, 1e30))
         # spectral majorant at unit majorant-density; per-segment majorant =
@@ -166,7 +176,7 @@ def trace_wave_vol(
             sigma_maj = sigma_unit * dda.maj_dens[..., None]
             maj0 = sigma_maj[..., 0]
             seg_end = jnp.minimum(dda.seg_end, t1)
-            u = _rand(depth, s["step"], 101)
+            u = rand(depth, s["step"], 101)
             dt = jnp.where(maj0 > 1e-18, -jnp.log1p(-u) / maj0, 2e30)
             t_new = s["t"] + dt
             # three outcomes: event inside this majorant segment, cross into
@@ -203,7 +213,7 @@ def trace_wave_vol(
             maj0_safe = jnp.maximum(maj0, 1e-30)
             p_absorb = sig_a[..., 0] / maj0_safe
             p_scatter = sig_s[..., 0] / maj0_safe
-            um = _rand(depth, s["step"], 202)
+            um = rand(depth, s["step"], 202)
             absorb = ev & (um < p_absorb)
             scat = ev & ~absorb & (um < p_absorb + p_scatter)
             null = ev & ~absorb & ~scat
@@ -265,7 +275,8 @@ def trace_wave_vol(
     # ------------------------------------------------------------------
     # ratio-tracking shadow transmittance (SampleLd loop, integrators.cpp:1331)
     # ------------------------------------------------------------------
-    def shadow_transmit(depth, o0, wi, dist, med0, want):
+    def shadow_transmit(depth, o0, wi, dist, med0, want, pixel_idx, lam):
+        rand = lambda *salts: _rand(pixel_idx, *salts)
         T_ray = jnp.ones((R, S), jnp.float32)
         r_lt = jnp.ones((R, S), jnp.float32)
         r_ut = jnp.ones((R, S), jnp.float32)
@@ -309,7 +320,7 @@ def trace_wave_vol(
                     sigma_maj = sigma_unit * dda.maj_dens[..., None]
                     maj0 = sigma_maj[..., 0]
                     seg_end2 = jnp.minimum(dda.seg_end, t1)
-                    u = _rand(depth, s["step"], 303, _seg)
+                    u = rand(depth, s["step"], 303, _seg)
                     dt = jnp.where(maj0 > 1e-18, -jnp.log1p(-u) / maj0, 2e30)
                     t_new = s["t"] + dt
                     crossed = run & (t_new >= seg_end2) & (seg_end2 < t1)
@@ -337,7 +348,7 @@ def trace_wave_vol(
                     # (integrators.cpp:1357-1364)
                     tr = T_new / jnp.maximum(_avg(rl_new + ru_new), 1e-30)[..., None]
                     low = ev & (jnp.max(tr, axis=-1) < 0.05)
-                    u_rr = _rand(depth, s["step"], 404, _seg)
+                    u_rr = rand(depth, s["step"], 404, _seg)
                     killed = low & (u_rr < 0.75)
                     T_new = jnp.where(killed[..., None], 0.0,
                                       jnp.where((low & ~killed)[..., None],
@@ -388,12 +399,13 @@ def trace_wave_vol(
     # NEE with transmittance (VolPathIntegrator::SampleLd)
     # ------------------------------------------------------------------
     def sample_ld(depth, p_ref, ns, wo_world, ctx_mat, is_med, g_med, cur_med,
-                  want, beta, r_p, L):
+                  want, beta, r_p, L, pixel_idx, lam):
+        rand = lambda *salts: _rand(pixel_idx, *salts)
         if n_lights == 0:
             return L
-        u_sel = _rand(depth, 11)
-        ulu = _rand(depth, 12)
-        ulv = _rand(depth, 13)
+        u_sel = rand(depth, 11)
+        ulu = rand(depth, 12)
+        ulv = rand(depth, 13)
         light_id, sel_pmf, _ = lightsamplers.sample_ctx(ls_tables, p_ref, u_sel)
         ls = lights.sample_li(scene, light_all, light_id, p_ref, lam,
                               jnp.stack([ulu, ulv], -1))
@@ -414,7 +426,7 @@ def trace_wave_vol(
         so = jnp.where(is_med[..., None], p_ref,
                        vm.offset_ray_origin(p_ref, ng_o, wi_l))
         T_ray, r_lt, r_ut = shadow_transmit(depth, so, wi_l, ls.dist, cur_med,
-                                            want)
+                                            want, pixel_idx, lam)
         p_l = sel_pmf * ls.pdf
         r_l_f = r_lt * r_p * p_l[..., None]
         r_u_f = r_ut * r_p * scatter_pdf[..., None]
@@ -429,7 +441,7 @@ def trace_wave_vol(
     # escaped / emissive-hit contributions with rescaled MIS
     # ------------------------------------------------------------------
     def add_emission(depth, o, d, t_hit_state, L, beta, r_u, r_l, active,
-                     specular_prev, prev_p, sp, found):
+                     specular_prev, prev_p, sp, found, lam):
         escaped = active & ~found
         if n_lights > 0:
             le_inf = lights.infinite_le(scene, d, lam)
@@ -465,19 +477,39 @@ def trace_wave_vol(
     # ------------------------------------------------------------------
     def bounce(depth, state, allow_scatter=True):
         (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
-         eta_scale, cone_w, cone_s) = state
+         eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st) = state
+
+        if do_resort and allow_scatter:
+            # re-sort the WHOLE lane state by (dead, octant, Morton) of the
+            # rays about to be traced: one argsort serves every traversal in
+            # this bounce (path closest + all shadow segments). An argsort
+            # costs ~20 ms at 87k lanes on v5e — per-call sort wrappers paid
+            # it 5x per bounce. perm tracks lanes back to caller order.
+            key = pallas_traverse.ray_sort_key(
+                jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                sort_blo, sort_bext, jnp.where(active, 1.0, -1.0))
+            order = jnp.argsort(key)
+            (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
+             cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st) = \
+                jax.tree.map(lambda a: a[order],
+                             (o, d, L, beta, r_u, r_l, active, specular_prev,
+                              prev_p, cur_med, eta_scale, cone_w, cone_s,
+                              pixel_idx, lam, perm, st))
 
         t_max = jnp.where(active, 1e30, -1.0)
         hit = isect_closest(o, d, t_max)
         found = active & (hit.prim >= 0)
         t_hit = jnp.where(found, hit.t, jnp.inf)
+        if cfg.collect_stats:
+            st = st.at[:, 0].add(active.astype(jnp.float32))
+            st = st.at[:, 2].add(found.astype(jnp.float32))
 
         # --- medium segment sampling ---------------------------------
         if has_media:
             run_med = active & (cur_med >= 0)
             scattered, med_term, p_scat, beta, r_u, r_l, L = medium_events(
                 depth, o, d, t_hit, cur_med, beta, r_u, r_l, L, run_med,
-                allow_scatter)
+                allow_scatter, pixel_idx, lam)
             active = active & ~med_term
         else:
             scattered = jnp.zeros((R,), bool)
@@ -489,17 +521,18 @@ def trace_wave_vol(
         # --- Le from escapes and emissive hits -----------------------
         L = add_emission(depth, o, d, t_hit, L, beta, r_u, r_l,
                          active & ~scattered, specular_prev, prev_p, sp,
-                         surf_found)
+                         surf_found, lam)
         if not allow_scatter:
             return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
-                    cur_med, eta_scale, cone_w, cone_s)
+                    cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm,
+                    st)
 
         wo = -d
         cone_at_hit = cone_w + sp.t * cone_s
         foot = texture_mod.cone_foot_log2(
             cone_at_hit, vm.absdot(d, sp.ns), sp.uv_scale)
         ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv,
-                                   _rand(depth, 31), foot_log2=foot)
+                                   _rand(pixel_idx, depth, 31), foot_log2=foot)
         is_interface = surf_found & (sp.mat < 0)
         surf_lane = surf_found & (sp.mat >= 0)
 
@@ -512,10 +545,15 @@ def trace_wave_vol(
                               jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), sp.ns.shape),
                               sp.ns)
             L = sample_ld(depth, p_ref, ns_ld, wo, ctx, scattered, g_med,
-                          cur_med, (surf_lane | scattered), beta, r_u, L)
+                          cur_med, (surf_lane | scattered), beta, r_u, L,
+                          pixel_idx, lam)
+            if cfg.collect_stats:
+                st = st.at[:, 1].add(
+                    (surf_lane | scattered).astype(jnp.float32))
 
         # --- medium lanes: phase-function direction ------------------
-        u_ph = jnp.stack([_rand(depth, 21), _rand(depth, 22)], -1)
+        u_ph = jnp.stack([_rand(pixel_idx, depth, 21),
+                          _rand(pixel_idx, depth, 22)], -1)
         g_all = (media.gather_medium(scene, cur_med, lam, med_all).g
                  if has_media else jnp.zeros((R,)))
         wi_ph, pdf_ph = media.phase_sample(wo, u_ph, g_all)
@@ -581,15 +619,22 @@ def trace_wave_vol(
         rr = jnp.max(beta, axis=-1) * eta_scale / jnp.maximum(_avg(r_u), 1e-30)
         q = jnp.where(depth >= cfg.rr_depth, jnp.maximum(0.0, 1.0 - rr), 0.0)
         die = active & (u_rr < q)
+        if cfg.collect_stats:
+            st = st.at[:, 3].add(die.astype(jnp.float32))
         active = active & ~die
         beta = jnp.where(active[..., None],
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
         return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
-                cur_med, eta_scale, cone_w, cone_s)
+                cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st)
 
+    perm0 = jnp.arange(R, dtype=jnp.int32) + zv.astype(jnp.int32)
+    # per-pixel stats counters (mirrors integrator.trace_wave collect_stats:
+    # [bounces, shadow_rays, hits, rr_terms])
+    st0 = (jnp.zeros((R, 4), jnp.float32) + zv[:, None]
+           if cfg.collect_stats else None)
     state = (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
-             eta_scale, cone_w, cone_s)
+             eta_scale, cone_w, cone_s, pixel_idx, lam, perm0, st0)
     if cfg.max_depth > 0:
         if cfg.early_exit:
             # all-dead early exit (active is state[6]); the analog of the
@@ -614,5 +659,10 @@ def trace_wave_vol(
             )
     # trailing emission-only segment (scatter events past max depth terminate)
     state = bounce(jnp.int32(cfg.max_depth), state, allow_scatter=False)
-    L = state[2]
+    Lp, perm_f, st_f = state[2], state[15], state[16]
+    # scatter radiance back to caller lane order (perm[i] = original lane)
+    L = jnp.zeros_like(Lp).at[perm_f].set(Lp)
+    if cfg.collect_stats:
+        st_f = jnp.zeros_like(st_f).at[perm_f].set(st_f)
+        return L, lam, lam_pdf, film_w, st_f
     return L, lam, lam_pdf, film_w
