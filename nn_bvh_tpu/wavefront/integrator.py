@@ -61,6 +61,10 @@ class IntegratorConfig(NamedTuple):
     use_pallas: bool | None = None  # None = auto: Pallas packet kernel on TPU
     #   (the XLA while-loop traversal measures ~0.001 Mrays/s on TPU vs ~80
     #   Mrays/s for the packet kernel; XLA path remains the CPU/test anchor)
+    compact: bool = True          # volpath phase-ladder wavefront
+    #   compaction (volpath.make_phased_wave): re-tile the wave to smaller
+    #   static shapes as lanes die — the TPU analog of the reference's
+    #   shrinking WorkQueue sizes. Requires early_exit; no-op on CPU/XLA.
     resort: bool = True           # re-sort the LANE STATE each bounce by
     #   (dead, octant, Morton) of the outgoing rays and run the traversal
     #   kernels unsorted: one ~20 ms argsort serves every traversal in the
@@ -664,7 +668,15 @@ def make_wave_fn(
     # (device->host readback over the TPU tunnel is extremely slow)
     ls_tables = lightsamplers.build(scene, cfg.light_sampler)
     if isect is None:
-        isect = dispatch.make_intersectors(scene, dbvh, use_pallas=cfg.use_pallas)
+        isect = dispatch.make_intersectors(scene, dbvh,
+                                           use_pallas=cfg.use_pallas,
+                                           sort=not cfg.resort)
+    if (cfg.kind in ("volpath", "simplevolpath") and cfg.compact
+            and cfg.early_exit and isect.backend != "xla"):
+        from . import volpath as volpath_mod
+
+        return volpath_mod.make_phased_wave(scene, dbvh, cam, sampler_cfg,
+                                            cfg, isect=isect, sensor=sensor)
     scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray, (scene, dbvh, ls_tables))
 
     # every large array crosses the jit boundary as an ARGUMENT: closing over

@@ -66,8 +66,13 @@ def trace_wave_vol(
     sample_idx: Array,
     ls_tables: lightsamplers.LightSamplerTables | None = None,
     isect: "dispatch.Intersectors | None" = None,
+    _export: bool = False,
 ):
-    """VolPath: one volumetric path per pixel_idx entry -> (L, lam, pdf, w)."""
+    """VolPath: one volumetric path per pixel_idx entry -> (L, lam, pdf, w).
+
+    _export=True returns the size-generic (bounce, init_state) machinery
+    instead of tracing a wave — the compacted phase-ladder driver
+    (make_phased_wave) re-jits them at shrinking lane counts."""
     if ls_tables is None:
         ls_tables = lightsamplers.build(scene, cfg.light_sampler)
     if isect is None:
@@ -86,46 +91,55 @@ def trace_wave_vol(
     sort_bext = jnp.maximum(
         jnp.asarray(scene.bounds[1], jnp.float32) - sort_blo, 1e-9)
 
-    R = pixel_idx.shape[0]
     S = spectrum.N_SPECTRUM_SAMPLES
-    sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
     has_media = scene.n_media > 0
+    from ..geometry import texture as texture_mod
 
-    def _rand(pixel_idx, *salts):
+    def _rand(pixel_idx, sidx, *salts):
         """Counter-based uniform per lane (the reference seeds a per-segment
         RNG from the sampler, integrators.cpp:975; ours is keyed on the
-        pixel/sample/loop counters directly). pixel_idx rides as an argument
-        because the bounce loop re-sorts the lane state (resort)."""
+        pixel/sample/loop counters directly). pixel_idx/sidx ride as
+        arguments: the bounce loop re-sorts AND re-tiles the lane state."""
         return rng.hash_float(pixel_idx, sidx, jnp.uint32(sampler_cfg.seed),
                               *[jnp.asarray(s, jnp.uint32) for s in salts])
 
-    # --- camera rays + wavelengths ----------------------------------------
-    upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
-    u_pix, film_w = integrator_mod._filter_jitter(cfg, jnp.stack([upx, upy], -1))
-    ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
-    o, d = camera_mod.generate_rays(cam, pixel_idx, u_pix,
-                                    jnp.stack([ulx, uly], -1))
-    ul = samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_WAVELENGTH)
-    lam, lam_pdf = spectrum.sample_wavelengths_visible(ul)
+    def init_state(pixel_idx, sample_idx):
+        """Camera rays + wavelengths + all per-lane carries (size-generic)."""
+        R = pixel_idx.shape[0]
+        sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (R,))
+        upx, upy = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_PIXEL)
+        u_pix, film_w = integrator_mod._filter_jitter(
+            cfg, jnp.stack([upx, upy], -1))
+        ulx, uly = samplers.get_2d(sampler_cfg, pixel_idx, sidx, DIM_LENS)
+        o, d = camera_mod.generate_rays(cam, pixel_idx, u_pix,
+                                        jnp.stack([ulx, uly], -1))
+        ul = samplers.get_1d(sampler_cfg, pixel_idx, sidx, DIM_WAVELENGTH)
+        lam, lam_pdf = spectrum.sample_wavelengths_visible(ul)
 
-    # device-varying carry inits (see integrator.trace_wave: shard_map vma)
-    zv = upx * 0.0
-    L = jnp.zeros((R, S), jnp.float32) + zv[:, None]
-    beta = jnp.ones((R, S), jnp.float32) + zv[:, None]
-    r_u = jnp.ones((R, S), jnp.float32) + zv[:, None]
-    r_l = jnp.ones((R, S), jnp.float32) + zv[:, None]
-    active = zv == 0.0
-    specular_prev = zv == 0.0
-    prev_p = o
-    eta_scale = 1.0 + zv
-    # ray-cone texture LOD (geometry/texture.py; see integrator.trace_wave)
-    from ..geometry import texture as texture_mod
-
-    cone_w = zv
-    cone_s = texture_mod.camera_spread(
-        cam.fov if cam.kind == camera_mod.PERSPECTIVE else 60.0,
-        cam.height) + zv
-    cur_med = jnp.full((R,), scene.camera_medium, jnp.int32) + zv.astype(jnp.int32)
+        # device-varying carry inits (integrator.trace_wave: shard_map vma)
+        zv = upx * 0.0
+        L = jnp.zeros((R, S), jnp.float32) + zv[:, None]
+        beta = jnp.ones((R, S), jnp.float32) + zv[:, None]
+        r_u = jnp.ones((R, S), jnp.float32) + zv[:, None]
+        r_l = jnp.ones((R, S), jnp.float32) + zv[:, None]
+        active = zv == 0.0
+        specular_prev = zv == 0.0
+        prev_p = o
+        eta_scale = 1.0 + zv
+        cone_w = zv
+        cone_s = texture_mod.camera_spread(
+            cam.fov if cam.kind == camera_mod.PERSPECTIVE else 60.0,
+            cam.height) + zv
+        cur_med = jnp.full((R,), scene.camera_medium, jnp.int32) \
+            + zv.astype(jnp.int32)
+        perm0 = jnp.arange(R, dtype=jnp.int32) + zv.astype(jnp.int32)
+        # per-pixel stats counters (integrator collect_stats analog:
+        # [bounces, shadow_rays, hits, rr_terms])
+        st0 = (jnp.zeros((R, 4), jnp.float32) + zv[:, None]
+               if cfg.collect_stats else None)
+        return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
+                cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm0,
+                st0, sidx, film_w, lam_pdf)
 
     n_lights = scene.n_lights
     mat_all = bxdf.material_records(scene)
@@ -144,8 +158,9 @@ def trace_wave_vol(
     # with the VolPath callback of integrators.cpp:981-1068 inlined)
     # ------------------------------------------------------------------
     def medium_events(depth, o, d, t_hit, cur_med, beta, r_u, r_l, L, run0,
-                      allow_scatter, pixel_idx, lam):
-        rand = lambda *salts: _rand(pixel_idx, *salts)
+                      allow_scatter, pixel_idx, sidx, lam):
+        R = o.shape[0]
+        rand = lambda *salts: _rand(pixel_idx, sidx, *salts)
         ctx = media.gather_medium(scene, cur_med, lam, med_all)
         t0, t1 = media.segment_bounds(ctx, o, d, jnp.where(jnp.isfinite(t_hit), t_hit, 1e30))
         # spectral majorant at unit majorant-density; per-segment majorant =
@@ -275,8 +290,10 @@ def trace_wave_vol(
     # ------------------------------------------------------------------
     # ratio-tracking shadow transmittance (SampleLd loop, integrators.cpp:1331)
     # ------------------------------------------------------------------
-    def shadow_transmit(depth, o0, wi, dist, med0, want, pixel_idx, lam):
-        rand = lambda *salts: _rand(pixel_idx, *salts)
+    def shadow_transmit(depth, o0, wi, dist, med0, want, pixel_idx, sidx,
+                        lam):
+        R = o0.shape[0]
+        rand = lambda *salts: _rand(pixel_idx, sidx, *salts)
         T_ray = jnp.ones((R, S), jnp.float32)
         r_lt = jnp.ones((R, S), jnp.float32)
         r_ut = jnp.ones((R, S), jnp.float32)
@@ -399,8 +416,8 @@ def trace_wave_vol(
     # NEE with transmittance (VolPathIntegrator::SampleLd)
     # ------------------------------------------------------------------
     def sample_ld(depth, p_ref, ns, wo_world, ctx_mat, is_med, g_med, cur_med,
-                  want, beta, r_p, L, pixel_idx, lam):
-        rand = lambda *salts: _rand(pixel_idx, *salts)
+                  want, beta, r_p, L, pixel_idx, sidx, lam):
+        rand = lambda *salts: _rand(pixel_idx, sidx, *salts)
         if n_lights == 0:
             return L
         u_sel = rand(depth, 11)
@@ -426,7 +443,7 @@ def trace_wave_vol(
         so = jnp.where(is_med[..., None], p_ref,
                        vm.offset_ray_origin(p_ref, ng_o, wi_l))
         T_ray, r_lt, r_ut = shadow_transmit(depth, so, wi_l, ls.dist, cur_med,
-                                            want, pixel_idx, lam)
+                                            want, pixel_idx, sidx, lam)
         p_l = sel_pmf * ls.pdf
         r_l_f = r_lt * r_p * p_l[..., None]
         r_u_f = r_ut * r_p * scatter_pdf[..., None]
@@ -442,6 +459,7 @@ def trace_wave_vol(
     # ------------------------------------------------------------------
     def add_emission(depth, o, d, t_hit_state, L, beta, r_u, r_l, active,
                      specular_prev, prev_p, sp, found, lam):
+        R = o.shape[0]
         escaped = active & ~found
         if n_lights > 0:
             le_inf = lights.infinite_le(scene, d, lam)
@@ -477,7 +495,9 @@ def trace_wave_vol(
     # ------------------------------------------------------------------
     def bounce(depth, state, allow_scatter=True):
         (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
-         eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st) = state
+         eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st, sidx, film_w,
+         lam_pdf) = state
+        R = o.shape[0]
 
         if do_resort and allow_scatter:
             # re-sort the WHOLE lane state by (dead, octant, Morton) of the
@@ -490,11 +510,13 @@ def trace_wave_vol(
                 sort_blo, sort_bext, jnp.where(active, 1.0, -1.0))
             order = jnp.argsort(key)
             (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
-             cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st) = \
+             cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st,
+             sidx, film_w, lam_pdf) = \
                 jax.tree.map(lambda a: a[order],
                              (o, d, L, beta, r_u, r_l, active, specular_prev,
                               prev_p, cur_med, eta_scale, cone_w, cone_s,
-                              pixel_idx, lam, perm, st))
+                              pixel_idx, lam, perm, st, sidx, film_w,
+                              lam_pdf))
 
         t_max = jnp.where(active, 1e30, -1.0)
         hit = isect_closest(o, d, t_max)
@@ -509,7 +531,7 @@ def trace_wave_vol(
             run_med = active & (cur_med >= 0)
             scattered, med_term, p_scat, beta, r_u, r_l, L = medium_events(
                 depth, o, d, t_hit, cur_med, beta, r_u, r_l, L, run_med,
-                allow_scatter, pixel_idx, lam)
+                allow_scatter, pixel_idx, sidx, lam)
             active = active & ~med_term
         else:
             scattered = jnp.zeros((R,), bool)
@@ -525,14 +547,15 @@ def trace_wave_vol(
         if not allow_scatter:
             return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
                     cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm,
-                    st)
+                    st, sidx, film_w, lam_pdf)
 
         wo = -d
         cone_at_hit = cone_w + sp.t * cone_s
         foot = texture_mod.cone_foot_log2(
             cone_at_hit, vm.absdot(d, sp.ns), sp.uv_scale)
         ctx = bxdf.gather_material(scene, sp.mat, lam, mat_all, sp.uv,
-                                   _rand(pixel_idx, depth, 31), foot_log2=foot)
+                                   _rand(pixel_idx, sidx, depth, 31),
+                                   foot_log2=foot)
         is_interface = surf_found & (sp.mat < 0)
         surf_lane = surf_found & (sp.mat >= 0)
 
@@ -546,14 +569,14 @@ def trace_wave_vol(
                               sp.ns)
             L = sample_ld(depth, p_ref, ns_ld, wo, ctx, scattered, g_med,
                           cur_med, (surf_lane | scattered), beta, r_u, L,
-                          pixel_idx, lam)
+                          pixel_idx, sidx, lam)
             if cfg.collect_stats:
                 st = st.at[:, 1].add(
                     (surf_lane | scattered).astype(jnp.float32))
 
         # --- medium lanes: phase-function direction ------------------
-        u_ph = jnp.stack([_rand(pixel_idx, depth, 21),
-                          _rand(pixel_idx, depth, 22)], -1)
+        u_ph = jnp.stack([_rand(pixel_idx, sidx, depth, 21),
+                          _rand(pixel_idx, sidx, depth, 22)], -1)
         g_all = (media.gather_medium(scene, cur_med, lam, med_all).g
                  if has_media else jnp.zeros((R,)))
         wi_ph, pdf_ph = media.phase_sample(wo, u_ph, g_all)
@@ -626,15 +649,14 @@ def trace_wave_vol(
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
         return (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p,
-                cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st)
+                cur_med, eta_scale, cone_w, cone_s, pixel_idx, lam, perm, st,
+                sidx, film_w, lam_pdf)
 
-    perm0 = jnp.arange(R, dtype=jnp.int32) + zv.astype(jnp.int32)
-    # per-pixel stats counters (mirrors integrator.trace_wave collect_stats:
-    # [bounces, shadow_rays, hits, rr_terms])
-    st0 = (jnp.zeros((R, 4), jnp.float32) + zv[:, None]
-           if cfg.collect_stats else None)
-    state = (o, d, L, beta, r_u, r_l, active, specular_prev, prev_p, cur_med,
-             eta_scale, cone_w, cone_s, pixel_idx, lam, perm0, st0)
+    if _export:
+        return bounce, init_state
+
+    state = init_state(pixel_idx, sample_idx)
+    lam, lam_pdf, film_w = state[14], state[19], state[18]
     if cfg.max_depth > 0:
         if cfg.early_exit:
             # all-dead early exit (active is state[6]); the analog of the
@@ -666,3 +688,132 @@ def trace_wave_vol(
         st_f = jnp.zeros_like(st_f).at[perm_f].set(st_f)
         return L, lam, lam_pdf, film_w, st_f
     return L, lam, lam_pdf, film_w
+
+
+# ---------------------------------------------------------------------------
+# Compacted phase-ladder wave driver
+# ---------------------------------------------------------------------------
+
+def _align(n: int, g: int = 4096) -> int:
+    return max(g, -(-n // g) * g)
+
+
+def make_phased_wave(scene, dbvh, cam, sampler_cfg, cfg, isect=None,
+                     sensor=None, phase_len: int = 8,
+                     ladder_shrink: int = 4):
+    """Wavefront COMPACTION for deep-path scenes (crown: maxdepth 100).
+
+    The dense-lane wave pays O(R) shading/sampling vector work at EVERY
+    bounce even when RR/absorption has killed almost every lane — on crown,
+    bounces 20..100 are ~70% of wave time at <5% occupancy. The reference
+    never pays this: its WorkQueue sizes shrink as rays die
+    (wavefront/workqueue.h:42 — ForAllQueued loops over Size(), not
+    capacity). This driver is the TPU analog: the bounce loop runs in
+    PHASES of `phase_len` bounces; after each phase the lane state
+    (dead-partitioned by the in-loop resort) is sliced to the smallest
+    ladder size holding every live lane, and the jitted phase function is
+    re-invoked at that smaller static shape (one compile per ladder size,
+    cached across waves). Dead lanes sliced away carry final radiance;
+    their film contribution is accumulated immediately.
+
+    Returns wave(film, sample_idx) -> film.
+    """
+    from . import film as film_mod
+    from functools import partial
+
+    if isect is None:
+        isect = dispatch.make_intersectors(scene, dbvh, sort=not cfg.resort)
+    ls_tables = lightsamplers.build(scene, cfg.light_sampler)
+    scene_d, dbvh_d, ls_d = jax.tree.map(jnp.asarray,
+                                         (scene, dbvh, ls_tables))
+    R = cam.width * cam.height
+    sizes = [_align(R)]
+    while sizes[-1] > 4096:
+        nxt = _align(sizes[-1] // ladder_shrink)
+        if nxt >= sizes[-1]:
+            break
+        sizes.append(nxt)
+    curves = (jnp.asarray(sensor.curves)
+              if isinstance(sensor, film_mod.MeasuredSensor) else None)
+
+    def machinery(scn, dbv, lst, tables):
+        return trace_wave_vol(scn, dbv, cam, sampler_cfg, cfg, None, None,
+                              lst, isect.bind(tables), _export=True)
+
+    @jax.jit
+    def init_fn(scn, dbv, lst, tables, sample_idx):
+        _, init_state = machinery(scn, dbv, lst, tables)
+        # padding lanes (R..sizes[0]) alias pixel 0, dead, zero film weight
+        pix = jnp.arange(sizes[0], dtype=jnp.int32)
+        live = pix < R
+        state = init_state(jnp.where(live, pix, 0), sample_idx)
+        if sizes[0] > R:
+            state = (state[:6] + (state[6] & live,) + state[7:18]
+                     + (jnp.where(live, state[18], 0.0),) + state[19:])
+        return state
+
+    @jax.jit
+    def phase_fn(scn, dbv, lst, tables, state, depth0):
+        bounce, _ = machinery(scn, dbv, lst, tables)
+
+        def wcond(carry):
+            depth, s = carry
+            return ((depth < depth0 + phase_len)
+                    & (depth < cfg.max_depth) & jnp.any(s[6]))
+
+        def wbody(carry):
+            depth, s = carry
+            return depth + 1, bounce(depth, s)
+
+        depth, state = jax.lax.while_loop(wcond, wbody, (depth0, state))
+        # dead-partition so every live lane sits in a prefix (stable sort
+        # keeps the in-loop resort's clustering among the live lanes)
+        order = jnp.argsort((~state[6]).astype(jnp.int32), stable=True)
+        state = jax.tree.map(lambda a: a[order], state)
+        return depth, state, jnp.sum(state[6].astype(jnp.int32))
+
+    @jax.jit
+    def film_add(film, pix, L, lam, lam_pdf, film_w):
+        # sequential=False: chunks arrive permuted/sliced, and padding lanes
+        # alias pixel 0 with zero weight — needs the real scatter-add
+        return film_mod.add_samples(film, pix, L, lam, lam_pdf,
+                                    filter_weight=film_w, sequential=False,
+                                    sensor_curves=curves)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def shrink_fn(film, state, n):
+        """Slice live prefix to n lanes; scatter the dead suffix's radiance
+        into the film in the same jit."""
+        tail = jax.tree.map(lambda a: a[n:], state)
+        film = film_add(film, tail[13], tail[2], tail[14], tail[19],
+                        tail[18])
+        return film, jax.tree.map(lambda a: a[:n], state)
+
+    @jax.jit
+    def final_fn(film, scn, dbv, lst, tables, state):
+        bounce, _ = machinery(scn, dbv, lst, tables)
+        state = bounce(jnp.int32(cfg.max_depth), state, allow_scatter=False)
+        return film_add(film, state[13], state[2], state[14], state[19],
+                        state[18])
+
+    def wave(film, sample_idx):
+        state = init_fn(scene_d, dbvh_d, ls_d, isect.tables,
+                        jnp.asarray(sample_idx, jnp.int32))
+        depth = jnp.int32(0)
+        k = 0
+        while True:
+            depth, state, n_live = phase_fn(scene_d, dbvh_d, ls_d,
+                                            isect.tables, state, depth)
+            d_host = int(depth)
+            live = int(n_live)
+            if live == 0 or d_host >= cfg.max_depth:
+                break
+            want = _align(int(live * 1.25))
+            while k + 1 < len(sizes) and sizes[k + 1] >= want:
+                k += 1
+                film, state = shrink_fn(film, state, sizes[k])
+        return final_fn(film, scene_d, dbvh_d, ls_d, isect.tables, state)
+
+    return wave
