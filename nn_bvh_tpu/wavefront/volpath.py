@@ -302,7 +302,9 @@ def trace_wave_vol(
         med = med0
         alive = want
         n_segments = cfg.max_shadow_segments if has_media else 1
-        for seg in range(n_segments):
+
+        def seg_step(seg, carry):
+            (T_ray, r_lt, r_ut, seg_o, t_rem, med, alive) = carry
             t_max = jnp.where(alive, t_rem, -1.0)
             hit = isect_closest(seg_o, wi, t_max)
             hit_found = alive & (hit.prim >= 0)
@@ -410,7 +412,23 @@ def trace_wave_vol(
                     seg_o)
                 t_rem = jnp.where(cross, t_rem - hit.t, t_rem)
             alive = alive & cross
-        return T_ray, r_lt, r_ut
+            return (T_ray, r_lt, r_ut, seg_o, t_rem, med, alive)
+
+        carry = (T_ray, r_lt, r_ut, seg_o, t_rem, med, alive)
+        for seg in range(n_segments):
+            if seg == 0:
+                carry = seg_step(seg, carry)
+            else:
+                # later segments only matter for lanes that crossed a
+                # transmissive boundary — usually none. lax.cond skips the
+                # whole traversal+media walk when nobody is alive (the
+                # reference's SampleLd while loop just doesn't iterate,
+                # integrators.cpp:1331).
+                carry = jax.lax.cond(
+                    jnp.any(carry[6]),
+                    lambda c, _s=seg: seg_step(_s, c),
+                    lambda c: c, carry)
+        return carry[0], carry[1], carry[2]
 
     # ------------------------------------------------------------------
     # NEE with transmittance (VolPathIntegrator::SampleLd)
@@ -700,7 +718,7 @@ def _align(n: int, g: int = 4096) -> int:
 
 def make_phased_wave(scene, dbvh, cam, sampler_cfg, cfg, isect=None,
                      sensor=None, phase_len: int = 8,
-                     ladder_shrink: int = 4):
+                     ladder_shrink: int = 2, verbose: bool = False):
     """Wavefront COMPACTION for deep-path scenes (crown: maxdepth 100).
 
     The dense-lane wave pays O(R) shading/sampling vector work at EVERY
@@ -753,12 +771,12 @@ def make_phased_wave(scene, dbvh, cam, sampler_cfg, cfg, isect=None,
         return state
 
     @jax.jit
-    def phase_fn(scn, dbv, lst, tables, state, depth0):
+    def phase_fn(scn, dbv, lst, tables, state, depth0, dmax):
         bounce, _ = machinery(scn, dbv, lst, tables)
 
         def wcond(carry):
             depth, s = carry
-            return ((depth < depth0 + phase_len)
+            return ((depth < dmax)
                     & (depth < cfg.max_depth) & jnp.any(s[6]))
 
         def wbody(carry):
@@ -799,15 +817,30 @@ def make_phased_wave(scene, dbvh, cam, sampler_cfg, cfg, isect=None,
                         state[18])
 
     def wave(film, sample_idx):
+        import time as _time
+
+        t0 = _time.perf_counter()
         state = init_fn(scene_d, dbvh_d, ls_d, isect.tables,
                         jnp.asarray(sample_idx, jnp.int32))
         depth = jnp.int32(0)
+        d_host = 0
         k = 0
+        n_phase = 0
         while True:
+            # short phases early: occupancy collapses within the first few
+            # bounces (RR from rr_depth + escapes), so check/shrink often,
+            # then settle into long phases for the deep tail
+            plen = ([1, 1, 2, 4][n_phase] if n_phase < 4 else phase_len)
+            n_phase += 1
             depth, state, n_live = phase_fn(scene_d, dbvh_d, ls_d,
-                                            isect.tables, state, depth)
+                                            isect.tables, state, depth,
+                                            jnp.int32(d_host + plen))
             d_host = int(depth)
             live = int(n_live)
+            if verbose:
+                print(f"  phase -> depth {d_host:3d} size {sizes[k]:6d} "
+                      f"live {live:6d}  t={_time.perf_counter() - t0:6.2f}s",
+                      flush=True)
             if live == 0 or d_host >= cfg.max_depth:
                 break
             want = _align(int(live * 1.25))
