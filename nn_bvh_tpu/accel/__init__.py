@@ -19,6 +19,12 @@ def build_scene_bvh(scene, method: str = "sah"):
     n = scene.n_tris
     tri_p = np.asarray(scene.tri_p)[:n]
     lo, hi = triangle_bounds(tri_p)
+    if scene.tri_p_end is not None:
+        # animated scenes: ONE conservative tree over the union of both
+        # shutter keyframes' prim bounds (AnimatedPrimitive Bounds(),
+        # cpu/primitive.h:33 unions over shutter time)
+        lo2, hi2 = triangle_bounds(np.asarray(scene.tri_p_end)[:n])
+        lo, hi = np.minimum(lo, lo2), np.maximum(hi, hi2)
     if method in ("sah", "sah_native"):
         # prefer the native C++ builder (native/bvh_builder.cpp — the
         # reference also builds its BVH in native code, cpu/aggregates.cpp);
@@ -73,10 +79,17 @@ def apply_bvh_to_scene(scene, bvh: BVH):
                         if scene.tri_med_inside is not None else None),
         tri_med_outside=(perm(scene.tri_med_outside)
                          if scene.tri_med_outside is not None else None),
+        tri_p_end=(perm(scene.tri_p_end)
+                   if scene.tri_p_end is not None else None),
+        tri_n_end=(perm(scene.tri_n_end)
+                   if scene.tri_n_end is not None else None),
     )
     from ..geometry import scene as _scene_mod
 
     scene2 = scene2.replace(tri_shade=_scene_mod.make_tri_shade(scene2))
+    if scene2.tri_p_end is not None:
+        scene2 = scene2.replace(
+            tri_shade_end=_scene_mod.make_tri_shade(scene2, use_end=True))
     dbvh_host = _traverse.DeviceBVH(
         node_lo=bvh.node_lo, node_hi=bvh.node_hi, node_meta=bvh.node_meta,
         n_nodes=int(bvh.n_nodes),

@@ -55,6 +55,24 @@ class Intersectors:
         self.bounds = bounds
         self.sort = sort
         self.quad_base = quad_base
+        # object motion blur: shutter-end variants of the POSITION-bearing
+        # tables (None entries = static/shared). The BVH node table is built
+        # over keyframe-union bounds and shared; only triangle data lerps.
+        self.tables_end = None
+
+    @staticmethod
+    def lerp_tables(tables, tables_end, t):
+        """Per-wave shutter-time interpolation of the traversal tables
+        (inside jit). a + t*(b-a) is exact when b == a, so static entries
+        pass through bit-identically."""
+        if tables_end is None:
+            return tables
+        core, quads = tables
+        core_e, _ = tables_end
+        new_core = tuple(
+            a if b is None else a + t * (b - a)
+            for a, b in zip(core, core_e))
+        return (new_core, quads)
 
     def bind(self, tables=None) -> BoundIntersectors:
         # tables is ALWAYS the 2-tuple (core_backend_tables, quad_tables)
@@ -150,11 +168,20 @@ def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
     if getattr(scene, "n_quadrics", 0):
         quads = (jnp.asarray(scene.quad_type), jnp.asarray(scene.quad_params))
 
+    tri_p_end = getattr(scene, "tri_p_end", None)
+
+    def with_motion(isect, *end_core):
+        if tri_p_end is not None:
+            isect.tables_end = (tuple(end_core), None)
+        return isect
+
     if not use_pallas:
         tables = ((jax.tree.map(jnp.asarray, dbvh), jnp.asarray(scene.tri_p)),
                   quads)
-        return Intersectors("xla", tables, scene.bounds, sort=False,
-                            quad_base=n_tris)
+        return with_motion(
+            Intersectors("xla", tables, scene.bounds, sort=False,
+                         quad_base=n_tris),
+            None, jnp.asarray(tri_p_end) if tri_p_end is not None else None)
 
     # Default backend (r5): BVH4 wide nodes with bf16-packed bounds
     # (pallas_bvh4.py) — half the iterations of the binary kernel, and the
@@ -174,13 +201,21 @@ def make_intersectors(scene, dbvh, use_pallas: bool | None = None,
                 scene.bounds, sort=sort, quad_base=n_tris)
     if forced not in ("binary", "hbm"):
         ps4 = pallas_bvh4.PackedSceneW4(dbvh, scene.tri_p)
+        if tri_p_end is not None:
+            te2d = pallas_traverse.pack_tris(tri_p_end)
+            te3d = jnp.asarray(te2d.reshape(-1, 9, pallas_traverse.LANES))
+            te2d = jnp.asarray(te2d)
         if ps4.tri_resident():
-            return Intersectors("bvh4", ((ps4.node_tab, ps4.tri_tab_2d), quads),
-                                scene.bounds, sort=sort, quad_base=n_tris)
+            return with_motion(
+                Intersectors("bvh4", ((ps4.node_tab, ps4.tri_tab_2d), quads),
+                             scene.bounds, sort=sort, quad_base=n_tris),
+                None, te2d if tri_p_end is not None else None)
         if ps4.usable():
-            return Intersectors("bvh4_hbm",
-                                ((ps4.node_tab, ps4.tri_tab_3d), quads),
-                                scene.bounds, sort=sort, quad_base=n_tris)
+            return with_motion(
+                Intersectors("bvh4_hbm",
+                             ((ps4.node_tab, ps4.tri_tab_3d), quads),
+                             scene.bounds, sort=sort, quad_base=n_tris),
+                None, te3d if tri_p_end is not None else None)
     if forced != "hbm" and pallas_traverse.usable(dbvh, n_tris):
         ps = pallas_traverse.PackedScene(dbvh, scene.tri_p)
         return Intersectors("pallas_vmem", ((ps.node_tab, ps.tri_tab), quads),

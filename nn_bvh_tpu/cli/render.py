@@ -149,6 +149,41 @@ def main(argv=None):
             "lights": sc.n_lights,
             "spp": spp,
         }
+        # STAT_INT_DISTRIBUTION analog (util/stats.h:88): one extra 1-spp
+        # wave with per-pixel counters, summarized like PrintStats
+        if cfg.kind in ("path", "volpath"):
+            try:
+                from ..core import samplers as samplers_mod
+                import jax.numpy as jnp
+
+                scfg1 = samplers_mod.make_sampler(sampler, seed=args.seed,
+                                                  spp=1, width=cam.width)
+                cfg_s = cfg._replace(collect_stats=True)
+                R = cam.width * cam.height
+                pix = jnp.arange(R, dtype=jnp.int32)
+                if cfg.kind == "volpath":
+                    from ..wavefront import volpath as vp_mod
+
+                    outw = vp_mod.trace_wave_vol(sc, dbvh, cam, scfg1, cfg_s,
+                                                 pix, jnp.int32(0))
+                else:
+                    outw = integrator.trace_wave(sc, dbvh, cam, scfg1, cfg_s,
+                                                 pix, jnp.int32(0))
+                stt = np.asarray(outw[4])
+                names = ("path length", "shadow rays", "surface hits",
+                         "RR terminations")
+                print("per-pixel distributions (1 spp):", file=sys.stderr)
+                for i, nm in enumerate(names):
+                    v = stt[:, i]
+                    print(f"  {nm:18s} avg {v.mean():7.2f}  min {v.min():4.0f}"
+                          f"  max {v.max():5.0f}  total {v.sum():10.0f}",
+                          file=sys.stderr)
+                stats["dist_avg_path_length"] = round(float(stt[:, 0].mean()), 3)
+                stats["rays_live_per_s"] = round(
+                    float(stt[:, 0].sum() + stt[:, 1].sum()) * spp
+                    / max(t2 - t1, 1e-9), 1)
+            except Exception as e:
+                print(f"stats distributions unavailable: {e}", file=sys.stderr)
         print(json.dumps(stats))
 
     if args.pixelstats:

@@ -160,6 +160,11 @@ def pvec(params, name, default=None):
 @dataclass
 class GraphicsState:
     ctm: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32))
+    # motion blur (parser.h ActiveTransform/TransformTimes): the CTM at
+    # shutter END; transform directives mutate ctm and/or ctm_end per
+    # `active`. Equal matrices mean a static object.
+    ctm_end: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32))
+    active: str = "all"            # all | start | end
     # None = no Material directive seen (add_shape creates a default gray
     # diffuse); -1 = explicit interface material (Material "none")
     material: "int | None" = None
@@ -171,10 +176,21 @@ class GraphicsState:
     med_outside: int = -1
 
     def copy(self) -> "GraphicsState":
-        return GraphicsState(self.ctm.copy(), self.material,
+        return GraphicsState(self.ctm.copy(), self.ctm_end.copy(),
+                             self.active, self.material,
                              dict(self.area_light) if self.area_light else None,
                              self.reverse_orientation,
                              self.med_inside, self.med_outside)
+
+    def apply_xf(self, f):
+        if self.active in ("all", "start"):
+            self.ctm = f(self.ctm)
+        if self.active in ("all", "end"):
+            self.ctm_end = f(self.ctm_end)
+
+    @property
+    def is_animated(self) -> bool:
+        return not np.allclose(self.ctm_end, self.ctm)
 
 
 @dataclass
@@ -196,6 +212,7 @@ class ParseResult:
     exposure: float = 1.0
     white_balance: float | None = None
     sensor: str = "cie1931"
+    transform_times: tuple = (0.0, 1.0)
     warnings: list = field(default_factory=list)
 
     def make_sensor(self):
@@ -456,7 +473,10 @@ def parse_file(path: str) -> ParseResult:
 
         def emit_mesh(verts, faces, normals=None, uvs=None, sphere_r=None):
             rec = dict(vertices=verts, faces=faces, normals=normals, uvs=uvs,
-                       transform=gs.ctm.copy(), material=mat,
+                       transform=gs.ctm.copy(),
+                       transform_end=(gs.ctm_end.copy() if gs.is_animated
+                                      else None),
+                       material=mat,
                        emission=emission, escale=escale, two_sided=two_sided,
                        sphere_r=sphere_r,
                        med_inside=gs.med_inside, med_outside=gs.med_outside)
@@ -569,6 +589,8 @@ def parse_file(path: str) -> ParseResult:
 
     def _instantiate(rec: dict, extra: np.ndarray):
         m = extra @ rec["transform"]
+        te = rec.get("transform_end")
+        m_end = extra @ te if te is not None else None
         if rec.get("quadric") is not None:
             # world-space canonical frame from the CTM; pbrt quadrics under
             # non-uniform scale are rare — approximated by the mean scale
@@ -620,6 +642,7 @@ def parse_file(path: str) -> ParseResult:
                 light_id=lid,
                 med_inside=rec.get("med_inside", -1),
                 med_outside=rec.get("med_outside", -1),
+                transform_end=m_end,
             )
             return
         builder.add_mesh(
@@ -629,6 +652,7 @@ def parse_file(path: str) -> ParseResult:
             two_sided=rec["two_sided"],
             med_inside=rec.get("med_inside", -1),
             med_outside=rec.get("med_outside", -1),
+            transform_end=m_end,
         )
 
     while ts.peek() is not None:
@@ -641,15 +665,18 @@ def parse_file(path: str) -> ParseResult:
             vals = [float(ts.next()) for _ in range(9)]
             # world->camera in pbrt; camera-to-world is its inverse
             w2c_inv = xf.look_at(vals[0:3], vals[3:6], vals[6:9])
-            gs.ctm = gs.ctm @ np.linalg.inv(w2c_inv).astype(np.float32)
+            gs.apply_xf(lambda c: c @ np.linalg.inv(w2c_inv).astype(np.float32))
         elif tok == "Translate":
-            gs.ctm = gs.ctm @ xf.translate([float(ts.next()) for _ in range(3)])
+            tr = xf.translate([float(ts.next()) for _ in range(3)])
+            gs.apply_xf(lambda c: c @ tr)
         elif tok == "Scale":
-            gs.ctm = gs.ctm @ xf.scale([float(ts.next()) for _ in range(3)])
+            sc_m = xf.scale([float(ts.next()) for _ in range(3)])
+            gs.apply_xf(lambda c: c @ sc_m)
         elif tok == "Rotate":
             a = float(ts.next())
             axis = [float(ts.next()) for _ in range(3)]
-            gs.ctm = gs.ctm @ xf.rotate(a, axis)
+            rot = xf.rotate(a, axis)
+            gs.apply_xf(lambda c: c @ rot)
         elif tok in ("Transform", "ConcatTransform"):
             assert ts.next() == "["
             vals = []
@@ -657,9 +684,20 @@ def parse_file(path: str) -> ParseResult:
                 vals.append(float(ts.next()))
             ts.next()
             m = np.asarray(vals, np.float32).reshape(4, 4).T  # column-major
-            gs.ctm = m if tok == "Transform" else gs.ctm @ m
+            if tok == "Transform":
+                gs.apply_xf(lambda c: m)
+            else:
+                gs.apply_xf(lambda c: c @ m)
         elif tok == "Identity":
-            gs.ctm = np.eye(4, dtype=np.float32)
+            gs.apply_xf(lambda c: np.eye(4, dtype=np.float32))
+        elif tok == "ActiveTransform":
+            which = ts.next()
+            gs.active = {"All": "all", "StartTime": "start",
+                         "EndTime": "end"}.get(which, "all")
+        elif tok == "TransformTimes":
+            # shutter interval; our waves sample t in [0,1) stratified and
+            # lerp keyframes, so only the EXISTENCE of the interval matters
+            res.transform_times = (float(ts.next()), float(ts.next()))
         elif tok == "Camera":
             res.camera_kind = _unquote(ts.next())
             # reference captures graphicsState.currentOutsideMedium at the

@@ -181,6 +181,15 @@ class CompiledScene(NamedTuple):
     # per-triangle medium interface (MediumInterface, primitive.h): the medium
     # on the side the geometric normal points away from (inside) / toward
     # (outside). Folded into tri_shade cols 26/27 for the fused gather.
+    # object motion blur (AnimatedPrimitive analog, cpu/primitive.h:33 /
+    # transform.h:444): shutter-end copies of the vertex tables. None for
+    # static scenes. The renderer lerps tables per WAVE at a stratified
+    # shutter time (static columns use a + t*(b-a), exact when b == a),
+    # and the BVH is built over the UNION of both keyframes' prim bounds
+    # so one tree is conservative for every t.
+    tri_p_end: Array = None        # (N,3,3) f32 or None
+    tri_n_end: Array = None        # (N,3,3) f32 or None
+    tri_shade_end: Array = None    # like tri_shade or None
     tri_med_inside: Array = None   # (N,) i32
     tri_med_outside: Array = None  # (N,) i32
 
@@ -240,9 +249,9 @@ class CompiledScene(NamedTuple):
         return self._replace(**kw)
 
 
-def make_tri_shade(scene: "CompiledScene") -> np.ndarray:
-    tp = np.asarray(scene.tri_p, np.float32)
-    tn = np.asarray(scene.tri_n, np.float32)
+def make_tri_shade(scene: "CompiledScene", use_end: bool = False) -> np.ndarray:
+    tp = np.asarray(scene.tri_p_end if use_end else scene.tri_p, np.float32)
+    tn = np.asarray(scene.tri_n_end if use_end else scene.tri_n, np.float32)
     tu = np.asarray(scene.tri_uv, np.float32)
     n = len(tp)
     nq = int(scene.n_quadrics or 0)
@@ -313,6 +322,8 @@ class SceneBuilder:
     _tri_mat: list = field(default_factory=list)
     _tri_emit: list = field(default_factory=list)  # (rgb, scale, twosided) or None per mesh
     _tri_med: list = field(default_factory=list)    # (med_inside, med_outside) per mesh
+    _tri_pe: list = field(default_factory=list)     # motion: end verts (F,3,3) or None
+    _tri_ne: list = field(default_factory=list)     # motion: end normals or None
     _materials: list = field(default_factory=list)
     _sss: list = field(default_factory=list)
     _lights: list = field(default_factory=list)
@@ -691,6 +702,7 @@ class SceneBuilder:
         med_inside: int = -1,
         med_outside: int = -1,
         light_id: int | None = None,
+        transform_end: Optional[np.ndarray] = None,
     ) -> None:
         """Add an indexed triangle mesh. If emission_rgb is set, every triangle
         becomes a DiffuseAreaLight (matching the reference, where a
@@ -703,10 +715,12 @@ class SceneBuilder:
         medium boundary."""
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
+        verts0 = vertices
+        norms0 = normals
         if transform is not None:
-            vertices = xf.apply_points(transform, vertices)
-            if normals is not None:
-                normals = xf.apply_normals(transform, normals)
+            vertices = xf.apply_points(transform, verts0)
+            if norms0 is not None:
+                normals = xf.apply_normals(transform, norms0)
         p = vertices[faces]  # (F, 3, 3)
         if normals is not None:
             n = np.asarray(normals, np.float32)[faces]
@@ -714,6 +728,25 @@ class SceneBuilder:
             ng = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
             ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
             n = np.repeat(ng[:, None, :], 3, axis=1)
+        # shutter-end keyframe (ActiveTransform EndTime): same topology,
+        # second transform
+        if transform_end is not None and (
+                transform is None
+                or not np.allclose(transform_end, transform)):
+            ve = xf.apply_points(transform_end, verts0)
+            pe = ve[faces]
+            if norms0 is not None:
+                ne = xf.apply_normals(transform_end, norms0)[faces]
+            else:
+                nge = np.cross(pe[:, 1] - pe[:, 0], pe[:, 2] - pe[:, 0])
+                nge /= np.maximum(
+                    np.linalg.norm(nge, axis=-1, keepdims=True), 1e-20)
+                ne = np.repeat(nge[:, None, :], 3, axis=1)
+            self._tri_pe.append(pe.astype(np.float32))
+            self._tri_ne.append(ne.astype(np.float32))
+        else:
+            self._tri_pe.append(None)
+            self._tri_ne.append(None)
         if uvs is not None:
             uv = np.asarray(uvs, np.float32)[faces]
         else:
@@ -847,6 +880,14 @@ class SceneBuilder:
         tri_uv = np.concatenate(self._tri_uv)
         tri_mat = np.concatenate(self._tri_mat)
         n = len(tri_p)
+        animated = any(pe is not None for pe in self._tri_pe)
+        if animated:
+            tri_p_end = np.concatenate(
+                [pe if pe is not None else p0
+                 for pe, p0 in zip(self._tri_pe, self._tri_p)])
+            tri_n_end = np.concatenate(
+                [ne if ne is not None else n0
+                 for ne, n0 in zip(self._tri_ne, self._tri_n)])
 
         # expand per-mesh medium interfaces into per-triangle columns
         tri_med_in = np.concatenate(
@@ -886,6 +927,12 @@ class SceneBuilder:
             tri_p = np.concatenate([tri_p, np.zeros((pad, 3, 3), np.float32)])
             tri_n = np.concatenate([tri_n, np.zeros((pad, 3, 3), np.float32)])
             tri_n[n:, :, 2] = 1.0
+            if animated:
+                tri_p_end = np.concatenate(
+                    [tri_p_end, np.zeros((pad, 3, 3), np.float32)])
+                tri_n_end = np.concatenate(
+                    [tri_n_end, np.zeros((pad, 3, 3), np.float32)])
+                tri_n_end[n:, :, 2] = 1.0
             tri_uv = np.concatenate([tri_uv, np.zeros((pad, 3, 2), np.float32)])
             tri_mat = np.concatenate([tri_mat, np.full(pad, -1, np.int32)])
             tri_light = np.concatenate([tri_light, np.full(pad, -1, np.int32)])
@@ -1119,8 +1166,13 @@ class SceneBuilder:
             **env,
             **portal,
         )
+        if animated:
+            out = out.replace(tri_p_end=tri_p_end, tri_n_end=tri_n_end)
         # fused shading record (rebuilt after any BVH reorder)
-        return out.replace(tri_shade=make_tri_shade(out))
+        out = out.replace(tri_shade=make_tri_shade(out))
+        if animated:
+            out = out.replace(tri_shade_end=make_tri_shade(out, use_end=True))
+        return out
 
 
 def to_device(scene: CompiledScene) -> CompiledScene:

@@ -671,8 +671,9 @@ def make_wave_fn(
         isect = dispatch.make_intersectors(scene, dbvh,
                                            use_pallas=cfg.use_pallas,
                                            sort=not cfg.resort)
+    animated = scene.tri_p_end is not None
     if (cfg.kind in ("volpath", "simplevolpath") and cfg.compact
-            and cfg.early_exit and isect.backend != "xla"):
+            and cfg.early_exit and isect.backend != "xla" and not animated):
         from . import volpath as volpath_mod
 
         return volpath_mod.make_phased_wave(scene, dbvh, cam, sampler_cfg,
@@ -683,7 +684,24 @@ def make_wave_fn(
     # device arrays embeds them as jaxpr constants, and at crown scale
     # (hundreds of MB of tables + tri_shade) that makes compilation explode
     def wave_impl(f: film_mod.Film, sample_idx, scene, dbvh, ls_tables,
-                  tables):
+                  tables, tables_end):
+        if animated:
+            # object motion blur: ONE stratified shutter time per wave
+            # (AnimatedPrimitive time sampling, cpu/primitive.h; shutter
+            # times stratified over spp waves, jittered deterministically).
+            # Geometry stays static WITHIN the wave, so the traversal
+            # kernels are untouched; tables/vertex records lerp here.
+            u = rng.hash_float(
+                jnp.asarray([0], jnp.int32),
+                jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (1,)),
+                jnp.uint32(0x51))[0]
+            t = (jnp.asarray(sample_idx, jnp.float32) + u) / sampler_cfg.spp
+            lerp = lambda a, b: a + t * (b - a)
+            scene = scene.replace(
+                tri_p=lerp(scene.tri_p, scene.tri_p_end),
+                tri_n=lerp(scene.tri_n, scene.tri_n_end),
+                tri_shade=lerp(scene.tri_shade, scene.tri_shade_end))
+            tables = dispatch.Intersectors.lerp_tables(tables, tables_end, t)
         bi = isect.bind(tables)
         R = cam.width * cam.height
         pixel_idx = jnp.arange(R, dtype=jnp.int32)
@@ -712,7 +730,8 @@ def make_wave_fn(
     jw = jax.jit(wave_impl, donate_argnums=(0,))
 
     def wave(f: film_mod.Film, sample_idx):
-        return jw(f, sample_idx, scene_d, dbvh_d, ls_d, isect.tables)
+        return jw(f, sample_idx, scene_d, dbvh_d, ls_d, isect.tables,
+                  isect.tables_end)
 
     return wave
 
