@@ -119,48 +119,48 @@ def bench_crown():
     from nn_bvh_tpu.geometry import pbrt_parser
     from nn_bvh_tpu.core import samplers
     from nn_bvh_tpu.wavefront import integrator, volpath, film as film_mod
-    from nn_bvh_tpu.accel import dispatch
 
     sc, dbvh, cam, res = pbrt_parser.load_scene(scene_file)
     cfg = integrator.IntegratorConfig(
         max_depth=res.max_depth, mis=True, kind="volpath",
-        light_sampler="power", rr_depth=2, collect_stats=True)
+        light_sampler="power", rr_depth=2)
     sampler_cfg = samplers.make_sampler("halton", seed=0, spp=64,
                                         width=cam.width)
-    isect = dispatch.make_intersectors(sc, dbvh, sort=not cfg.resort)
-    from nn_bvh_tpu.scatter import lightsamplers
-
-    ls = lightsamplers.build(sc, cfg.light_sampler)
-    scd, dbvhd, lsd = jax.tree.map(jnp.asarray, (sc, dbvh, ls))
     R = cam.width * cam.height
-    pixel_idx = jnp.arange(R, dtype=jnp.int32)
 
-    def one(s, scd, dbvhd, lsd, tables):
-        out = volpath.trace_wave_vol(scd, dbvhd, cam, sampler_cfg, cfg,
-                                     pixel_idx, s, lsd, isect.bind(tables))
-        return out[0], out[4]
+    # throughput: the real render path (phase-ladder compacted wave)
+    wave = integrator.make_wave_fn(sc, dbvh, cam, sampler_cfg, cfg,
+                                   sensor=res.make_sensor())
+    film = film_mod.make_film(cam.height, cam.width)
+    film = wave(film, jnp.int32(0))
+    float(jnp.sum(film.xyz))  # close compile+warmup
 
-    jw = jax.jit(one)
-    L, st = jw(jnp.int32(0), scd, dbvhd, lsd, isect.tables)
-    float(jnp.sum(L))  # close compile+warmup
-
-    n_waves = 2
-    live = 0.0
+    n_waves = 3
     t0 = time.perf_counter()
     for s in range(1, 1 + n_waves):
-        L, st = jw(jnp.int32(s), scd, dbvhd, lsd, isect.tables)
-        live += float(jnp.sum(st[:, 0]) + jnp.sum(st[:, 1]))
-    dt = time.perf_counter() - t0
-    dense = n_waves * R * (2 * cfg.max_depth + 1) / dt
+        film = wave(film, jnp.int32(s))
+    float(jnp.sum(film.xyz))
+    dt = (time.perf_counter() - t0) / n_waves
+    dense = R * (2 * cfg.max_depth + 1) / dt
+
+    # live-ray count distribution from ONE plain stats wave (counts only;
+    # the timing above is the phased path's)
+    cfg_s = cfg._replace(collect_stats=True)
+    pixel_idx = jnp.arange(R, dtype=jnp.int32)
+    out = volpath.trace_wave_vol(sc, dbvh, cam, sampler_cfg, cfg_s,
+                                 pixel_idx, jnp.int32(0))
+    st = out[4]
+    live_per_wave = float(jnp.sum(st[:, 0]) + jnp.sum(st[:, 1]))
     return {"crown_dense_rays_per_s": round(dense, 1),
-            "crown_live_rays_per_s": round(live / dt, 1),
-            "crown_wave_s": round(dt / n_waves, 2)}
+            "crown_live_rays_per_s": round(live_per_wave / dt, 1),
+            "crown_wave_s": round(dt, 2)}
 
 
 def main():
     from nn_bvh_tpu.utils.cache import enable_jax_cache
 
     enable_jax_cache()
+    t_start = time.perf_counter()
     rays_per_s = bench_primary()
     out = {
         "metric": "rays_per_s_1chip",
@@ -168,7 +168,11 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
     }
-    if os.environ.get("NN_BVH_BENCH_CROWN", "1") != "0":
+    # crown is best-effort: skip if the primary bench already consumed the
+    # budget (a cold compile cache must never time the whole bench out)
+    budget_ok = time.perf_counter() - t_start < float(
+        os.environ.get("NN_BVH_BENCH_BUDGET_S", "240"))
+    if os.environ.get("NN_BVH_BENCH_CROWN", "1") != "0" and budget_ok:
         try:
             crown = bench_crown()
             if crown:

@@ -150,10 +150,19 @@ def spherical_phi(v: Array) -> Array:
 
 
 def spherical_triangle_area(a: Array, b: Array, c: Array) -> Array:
-    """Solid angle of spherical triangle abc (vecmath.h SphericalTriangleArea)."""
+    """Solid angle of spherical triangle abc (vecmath.h SphericalTriangleArea).
+
+    Double-where on the atan2 operands: its VJP divides by (x^2 + y^2),
+    which is 0 when the reference point lies on a triangle edge's line (an
+    edge-on/borderline hit: b == -a makes both operands vanish) — the
+    masked lane's zero cotangent times that inf is the NaN that killed the
+    crown 64x64 pixel gradients (r4). Degenerate lanes return area 0, and
+    the pdf consumers already gate on omega > eps."""
+    num = dot(a, cross(b, c))
+    den = 1.0 + dot(a, b) + dot(a, c) + dot(b, c)
+    bad = (jnp.abs(num) < 1e-20) & (jnp.abs(den) < 1e-12)
     return jnp.abs(
-        2.0
-        * jnp.arctan2(dot(a, cross(b, c)), 1.0 + dot(a, b) + dot(a, c) + dot(b, c))
+        2.0 * jnp.arctan2(jnp.where(bad, 0.0, num), jnp.where(bad, 1.0, den))
     )
 
 

@@ -132,8 +132,12 @@ def _shading_point(scene: scene_mod.CompiledScene, hit: accel.Hit, o: Array, d: 
     duv2 = rec[..., 22:24] - rec[..., 18:20]
     uv_area = 0.5 * jnp.abs(duv1[..., 0] * duv2[..., 1]
                             - duv1[..., 1] * duv2[..., 0])
-    w_area = 0.5 * vm.length(vm.cross(v1 - v0, v2 - v0))
-    uv_scale = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-20))
+    # safe_sqrt everywhere: tris without UVs have uv_area == 0 and padding/
+    # degenerate tris have zero geometric area — sqrt'(0) = inf meets the
+    # masked lanes' zero cotangent as 0*inf = NaN in the crown-scale pixel
+    # gradients (the r4 64x64 NaN hunt)
+    w_area = 0.5 * vm.safe_sqrt(vm.length_squared(vm.cross(v1 - v0, v2 - v0)))
+    uv_scale = vm.safe_sqrt(uv_area / jnp.maximum(w_area, 1e-20))
     if getattr(scene, "n_quadrics", 0):
         # analytic-quadric lanes (prim >= padded tri count): exact position/
         # normal/uv (geometry/quadrics.py); mat/light/medium already came
