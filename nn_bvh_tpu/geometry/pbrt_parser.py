@@ -246,7 +246,9 @@ _MATERIAL_MAP = {
     "subsurface": ("subsurface", None),
     "hair": ("hair", None),
     "measured": ("measured", None),
-    "": ("diffuse", "empty material -> diffuse"),
+    # pbrt-v4: Material "" UNSETS the material -> a pure medium-interface
+    # surface (scene.cpp empty material name; used by volume bounds)
+    "": ("interface", None),
     "none": ("interface", None),
 }
 
@@ -913,7 +915,9 @@ def parse_file(path: str) -> ParseResult:
             if Le.size == 1:
                 Le = np.full(3, float(Le), np.float32)
             le_scale = float(pget(p, "Lescale", 1.0)) if np.any(Le > 0) else 0.0
-            if mtype in ("uniformgrid", "rgbgrid", "cloud", "nanovdb") \
+            if mtype == "cloud":
+                pass  # procedural; "float density" is a SCALE knob, not a grid
+            if mtype in ("uniformgrid", "rgbgrid", "nanovdb") \
                     and "density" in p:
                 nx = int(pget(p, "nx", 1))
                 ny = int(pget(p, "ny", 1))
@@ -938,6 +942,27 @@ def parse_file(path: str) -> ParseResult:
                     "grid", sigma_a=sigma_a, sigma_s=sigma_s, scale=mscale,
                     g=mg, Le=Le, Le_scale=le_scale, density=dens,
                     bounds=bounds)
+            elif mtype == "cloud":
+                # CloudMedium (media.h:430): procedural noise density, baked
+                # onto a grid in medium space (utils/noise.cloud_density)
+                from ..utils import noise as noise_mod
+
+                dens = noise_mod.cloud_density_grid(
+                    density=float(pget(p, "density", 1.0)),
+                    wispiness=float(pget(p, "wispiness", 1.0)),
+                    frequency=float(pget(p, "frequency", 5.0)))
+                p0 = np.asarray(pvec(p, "p0", np.zeros(3, np.float32)),
+                                np.float32)
+                p1 = np.asarray(pvec(p, "p1", np.ones(3, np.float32)),
+                                np.float32)
+                corners = np.stack([np.where(np.array(
+                    [(i >> k) & 1 for k in range(3)], bool), p1, p0)
+                    for i in range(8)])
+                wc = xf.apply_points(gs.ctm, corners.astype(np.float32))
+                mid = builder.add_medium(
+                    "grid", sigma_a=sigma_a, sigma_s=sigma_s, scale=mscale,
+                    g=mg, Le=Le, Le_scale=le_scale, density=dens,
+                    bounds=np.stack([wc.min(0), wc.max(0)]))
             else:
                 if mtype not in ("homogeneous",):
                     warn(f"medium type '{mtype}' approximated as homogeneous")

@@ -120,3 +120,48 @@ def bake(kind: str, res: int = 256, scale: float = 8.0, octaves: int = 6,
         raise ValueError(kind)
     t = np.clip(t, 0.0, 1.0)[..., None]
     return (c1 * (1 - t) + c2 * t).astype(np.float32)
+
+
+def dnoise(p: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vector-valued noise (DNoise, util/noise.cpp): three decorrelated
+    Perlin channels via seed offsets — used for cloud wisp perturbation."""
+    return np.stack([perlin(p, seed=seed + 11),
+                     perlin(p, seed=seed + 23),
+                     perlin(p, seed=seed + 37)], axis=-1)
+
+
+def cloud_density(p: np.ndarray, density: float = 1.0,
+                  wispiness: float = 1.0, frequency: float = 5.0) -> np.ndarray:
+    """CloudMedium::Density (media.h:493): noise-perturbed multi-octave
+    Perlin with an altitude falloff, in the medium's [0,1]^3 space.
+    p: (..., 3) points; returns (...,) densities in [0,1]."""
+    p = np.asarray(p, np.float32)
+    pp = frequency * p
+    if wispiness > 0:
+        vomega, vlambda = 0.05 * wispiness, 10.0
+        for _ in range(2):
+            pp = pp + vomega * dnoise(vlambda * pp)
+            vomega *= 0.5
+            vlambda *= 1.99
+    d = np.zeros(p.shape[:-1], np.float32)
+    omega, lam = 0.5, 1.0
+    for _ in range(5):
+        d += omega * perlin(lam * pp)
+        omega *= 0.5
+        lam *= 1.99
+    d = np.clip((1.0 - p[..., 1]) * 4.5 * density * d, 0.0, 1.0)
+    d = d + 2.0 * np.maximum(0.0, 0.5 - p[..., 1])
+    return np.clip(d, 0.0, 1.0)
+
+
+def cloud_density_grid(density: float = 1.0, wispiness: float = 1.0,
+                       frequency: float = 5.0, res: int = 64) -> np.ndarray:
+    """Bake CloudMedium's procedural density onto a (res,res,res) grid
+    (z,y,x order, matching the grid-medium density layout). The reference
+    evaluates the noise per sample point on the fly; the TPU pipeline
+    converts procedural media to grids at scene compile (geometry/scene.py
+    media note) and traverses them with the same DDA majorants."""
+    t = (np.arange(res, dtype=np.float32) + 0.5) / res
+    z, y, x = np.meshgrid(t, t, t, indexing="ij")
+    pts = np.stack([x, y, z], axis=-1)
+    return cloud_density(pts, density, wispiness, frequency)
