@@ -42,8 +42,12 @@ def main():
     res_px = int(os.environ.get("CROWN_GRAD_RES", "64"))
     depth = int(os.environ.get("CROWN_GRAD_DEPTH", "4"))
     cam = cam._replace(width=res_px, height=res_px)
-    cfg = integrator.IntegratorConfig(max_depth=depth, mis=True, kind="path",
-                                      early_exit=False)  # runs under jax.grad
+    cfg = integrator.IntegratorConfig(
+        max_depth=depth, mis=True, kind="path",
+        early_exit=False,  # runs under jax.grad
+        # NaN-bisect knobs: CROWN_GRAD_NO_NEE=1 drops light sampling (BSDF
+        # path only), isolating the NEE/emissive-MIS subsystem
+        sample_lights=not os.environ.get("CROWN_GRAD_NO_NEE"))
     sampler_cfg = samplers.make_sampler("independent", seed=7, spp=2)
     ls = lightsamplers.build(sc, cfg.light_sampler)
     isect = dispatch.make_intersectors(
