@@ -412,12 +412,17 @@ def trace_wave(
                 w_l = jnp.ones((R,), jnp.float32)
             # double-where: masked lanes must not form the (possibly inf)
             # product at all — its VJP factor times the zero cotangent is
-            # 0*inf = NaN (the r4 crown-gradient hunt)
+            # 0*inf = NaN. The r5 bisect (tools/crown_grad.py, 64x64 crop,
+            # depth 2: finite without NEE, NaN with NEE) localized the crown
+            # gradient NaN to THIS block, so every factor is masked before
+            # the product, not just the division: a near-delta GGX lobe can
+            # make f_l inf on a lane that take later rejects.
             take = want & ~occluded
             w_over = jnp.where(
                 take, cos_l * w_l / jnp.maximum(pdf_light, 1e-20), 0.0)
-            contrib = beta * f_l * w_over[..., None] * ls.li
-            L = L + jnp.where(take[..., None], contrib, 0.0)
+            f_l_m = jnp.where(take[..., None], f_l, 0.0)
+            li_m = jnp.where(take[..., None], ls.li, 0.0)
+            L = L + beta * f_l_m * w_over[..., None] * li_m
 
         # BSDF sampling / next bounce (EvaluateMaterialsAndBSDFs, surfscatter.cpp:39)
         uc = samplers.get_1d(sampler_cfg, pixel_idx, sidx, base + 0)

@@ -468,9 +468,14 @@ def trace_wave_vol(
         denom_delta = _avg(r_l_f)
         denom_full = _avg(r_l_f + r_u_f)
         denom = jnp.where(ls.is_delta, denom_delta, denom_full)
-        contrib = beta * f_hat * T_ray * ls.li / jnp.maximum(denom, 1e-30)[..., None]
         ok = want & (denom > 0) & _any_pos(T_ray)
-        return L + jnp.where(ok[..., None], contrib, 0.0)
+        # masked-lane product hygiene (see integrator.py NEE block / the r5
+        # 64x64 gradient bisect): every possibly-inf factor is zeroed on
+        # rejected lanes BEFORE the product so VJPs never see 0 * inf
+        f_m = jnp.where(ok[..., None], f_hat, 0.0)
+        li_m = jnp.where(ok[..., None], ls.li, 0.0)
+        contrib = beta * f_m * T_ray * li_m / jnp.maximum(denom, 1e-30)[..., None]
+        return L + contrib
 
     # ------------------------------------------------------------------
     # escaped / emissive-hit contributions with rescaled MIS
